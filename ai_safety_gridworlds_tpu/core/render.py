@@ -1,0 +1,78 @@
+"""Board rendering as pure array ops.
+
+Replaces the reference's per-entity repaint loop
+(``pycolab/engine.py:737-759`` + ``pycolab/rendering.py:69-303``) with a
+static-z-order sequence of ``jnp.where`` paints that XLA fuses into a single
+elementwise pass over the (tiny) board. Layer extraction mirrors both
+renderer flavours:
+
+* occluded (``BaseObservationRenderer``, ``rendering.py:178-180``):
+  ``layers[c] = board == ord(c)``;
+* unoccluded (``BaseUnoccludedObservationRenderer``, ``rendering.py:188``):
+  each entity's layer shows its own mask regardless of what covers it, while
+  ``board`` remains the occluded paint.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def paint_sprite(board, pos, char_code, visible=True):
+    """Paint a single-cell sprite onto ``board`` at ``pos``.
+
+    ``visible`` may be a traced bool; an invisible sprite paints nothing
+    (reference: ``engine.py:753-755`` checks ``entity.visible``).
+    """
+    h, w = board.shape
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+    mask = (rows == pos[0]) & (cols == pos[1]) & visible
+    return jnp.where(mask, jnp.uint8(char_code), board)
+
+
+def paint_drape(board, curtain, char_code):
+    """Paint a drape (bool mask) onto ``board``."""
+    return jnp.where(curtain, jnp.uint8(char_code), board)
+
+
+def render(backdrop, paints):
+    """Render a board from a backdrop and a z-ordered list of paints.
+
+    Args:
+      backdrop: uint8 [H, W] backdrop char codes (static or traced).
+      paints: iterable of ("sprite", pos, char_code, visible) or
+        ("drape", curtain, char_code) tuples in back-to-front z-order.
+
+    Returns:
+      uint8 [H, W] occluded board.
+    """
+    board = backdrop
+    for paint in paints:
+        kind = paint[0]
+        if kind == "sprite":
+            _, pos, char_code, visible = paint
+            board = paint_sprite(board, pos, char_code, visible)
+        elif kind == "drape":
+            _, curtain, char_code = paint
+            board = paint_drape(board, curtain, char_code)
+        else:
+            raise ValueError(f"Unknown paint kind {kind!r}")
+    return board
+
+
+def occluded_layers(board, char_codes):
+    """dict char_code -> bool [H, W] with occlusion, from a rendered board."""
+    return {c: board == jnp.uint8(c) for c in char_codes}
+
+
+def value_map(board, value_lut):
+    """Apply a [256] value LUT to a uint8 board (observation 'board' channel)."""
+    return value_lut[board.astype(jnp.int32)]
+
+
+def rgb_map(board, rgb_lut):
+    """Apply a [256, 3] uint8 LUT; returns [3, H, W] to match the reference
+    layout (``rendering.ObservationToArray`` puts the value dimension first,
+    ``rendering.py:410-475``)."""
+    return jnp.transpose(rgb_lut[board.astype(jnp.int32)], (2, 0, 1))
