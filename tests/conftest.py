@@ -1,19 +1,30 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding tests use
-``--xla_force_host_platform_device_count=8`` as recommended for validating
+``--xla_force_host_platform_device_count=8`` to validate
 ``jax.sharding.Mesh`` programs without real chips.
+
+Note: this machine's sitecustomize registers a remote TPU ("axon") PJRT
+plugin and forces ``jax_platforms="axon,cpu"``; tests must run locally on
+CPU, so we override both the env var and the live config here.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - config key should always exist
+    pass
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
