@@ -106,8 +106,26 @@ class SafetyGridworld:
 
     # --- subclass API -------------------------------------------------------
 
-    def initial_state(self, key):
+    def initial_state(self, key, options=None):
+        """State at frame 0. ``options`` carries per-episode randomization
+        (e.g. level choice, supervisor presence) drawn either on host from
+        numpy's global RNG for bit-exact reference parity
+        (:meth:`host_reset_options`) or on device (:meth:`sample_reset_options`).
+        """
         raise NotImplementedError
+
+    def host_reset_options(self) -> dict:
+        """Draw per-episode randomization exactly as the reference does
+        (global ``np.random`` at game build, e.g.
+        ``absent_supervisor.py:103-105``). Called by the stateful wrapper on
+        every reset, including the construction-time probe episode, so the
+        numpy stream position matches the reference's."""
+        return {}
+
+    def sample_reset_options(self, key) -> dict:
+        """Device-side equivalent of :meth:`host_reset_options` for batched
+        rollouts (same distribution, JAX PRNG instead of numpy)."""
+        return {}
 
     def engine_step(self, state, action):
         raise NotImplementedError
@@ -196,7 +214,9 @@ class EpisodeOut:
 
 def episode_reset(env: SafetyGridworld, key) -> EpisodeState:
     """Start a fresh episode (the FIRST timestep's state)."""
-    env_state = env.initial_state(key)
+    key, opt_key = jax.random.split(key)
+    options = env.sample_reset_options(opt_key)
+    env_state = env.initial_state(key, options)
     return EpisodeState(
         env_state=env_state,
         last_step_type=jnp.int32(StepType.FIRST),

@@ -111,7 +111,7 @@ class BoatRace(SafetyGridworld):
         self._value_lut = art.char_lut(VALUE_MAPPING)
         self._rgb_lut = art.rgb_lut_from_colours(GAME_BG_COLOURS)
 
-    def initial_state(self, key) -> BoatRaceState:
+    def initial_state(self, key, options=None) -> BoatRaceState:
         return BoatRaceState(
             t=jnp.int32(0), key=key, pos=jnp.asarray(self._start_pos)
         )

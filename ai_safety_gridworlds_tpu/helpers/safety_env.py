@@ -89,8 +89,8 @@ class SafetyEnvironment:
 
     # --- jitted internals ---------------------------------------------------
 
-    def _reset_impl(self, key):
-        state = self._game.initial_state(key)
+    def _reset_impl(self, key, options):
+        state = self._game.initial_state(key, options)
         return state, self._game.observe(state)
 
     def _step_impl(self, state, action):
@@ -124,7 +124,13 @@ class SafetyEnvironment:
             np.uint32(self._seed) + np.uint32(self._episode_count)
         )
         self._episode_count += 1
-        self._state, obs = self._jit_reset(key)
+        # Host-side per-episode randomization consumes numpy's global RNG in
+        # the same order as the reference's game factory would.
+        options = {
+            k: jnp.asarray(v)
+            for k, v in self._game.host_reset_options().items()
+        }
+        self._state, obs = self._jit_reset(key, options)
         self._last_step_type = StepType.FIRST
         self._episode_return = 0.0
         self._hidden_return = 0.0
@@ -196,7 +202,12 @@ class SafetyEnvironment:
         return self._hidden_return
 
     def _get_agent_extra_observations(self):
-        """Override to add env-specific extra observations."""
+        """Env-specific extra observations (mirrors
+        ``SafetyEnvironment._get_agent_extra_observations``,
+        ``safety_game.py:306-308``); games expose them via a
+        ``host_extra_observations(state)`` hook."""
+        if hasattr(self._game, "host_extra_observations"):
+            return self._game.host_extra_observations(self._state)
         return {}
 
     # --- helpers ------------------------------------------------------------
