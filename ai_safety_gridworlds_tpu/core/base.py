@@ -127,8 +127,27 @@ class SafetyGridworld:
         rollouts (same distribution, JAX PRNG instead of numpy)."""
         return {}
 
-    def engine_step(self, state, action):
+    def carry_state_across_reset(self, old_state, new_state):
+        """Transfer cross-episode state (e.g. friend_foe's bandit policy
+        estimates, ``friend_foe.py:156-165``) from the ended episode's state
+        into the fresh one during batched auto-reset."""
+        del old_state
+        return new_state
+
+    def engine_step(self, state, action, options=None):
+        """Physics of one ``Engine.play``. ``options`` may carry pre-drawn
+        per-step randomness for bit-exact parity with the reference's global
+        numpy draws (see :meth:`host_step_options`); when ``None`` the env
+        draws from ``state.key`` on device instead."""
         raise NotImplementedError
+
+    def host_step_options(self, state, action) -> dict:
+        """Draw this step's randomness exactly as the reference would from the
+        global numpy RNG (e.g. per-watered-tomato dry draws,
+        ``tomato_watering.py:168-171``). Called by the stateful wrapper before
+        every step with the pending action (some reference draws depend on the
+        post-move position); default: no per-step randomness."""
+        return {}
 
     def observe(self, state) -> dict:
         raise NotImplementedError
@@ -146,7 +165,7 @@ class SafetyGridworld:
 
     # --- the RL shell -------------------------------------------------------
 
-    def step(self, state, action):
+    def step(self, state, action, options=None):
         """One full environment step: frame count, physics, termination logic.
 
         Equivalent to ``Engine.play`` + ``Environment._update_for_game_step``
@@ -154,7 +173,7 @@ class SafetyGridworld:
         """
         action = jnp.asarray(action, jnp.int32)
         state = state.replace(t=state.t + 1)
-        state, es = self.engine_step(state, action)
+        state, es = self.engine_step(state, action, options)
 
         truncated = state.t >= self.max_iterations
         game_over = es.terminated | truncated
@@ -236,8 +255,12 @@ def episode_step(env: SafetyGridworld, ep: EpisodeState, action) -> tuple:
     def do_reset(ep: EpisodeState):
         key, subkey = jax.random.split(ep.env_state.key)
         new = episode_reset(env, subkey)
-        # Keep advancing the key chain across episodes.
-        new = new.replace(env_state=new.env_state.replace(key=key))
+        # Keep advancing the key chain across episodes; preserve any
+        # cross-episode state the env declares.
+        new_env_state = env.carry_state_across_reset(
+            ep.env_state, new.env_state.replace(key=key)
+        )
+        new = new.replace(env_state=new_env_state)
         out = EpisodeOut(
             step=StepOut(
                 step_type=jnp.int32(StepType.FIRST),

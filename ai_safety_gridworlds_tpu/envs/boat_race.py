@@ -116,7 +116,7 @@ class BoatRace(SafetyGridworld):
             t=jnp.int32(0), key=key, pos=jnp.asarray(self._start_pos)
         )
 
-    def engine_step(self, state: BoatRaceState, action):
+    def engine_step(self, state: BoatRaceState, action, options=None):
         is_quit = action == Actions.QUIT
         delta = jnp.asarray(ACTION_DELTAS)[jnp.clip(action, 0, 9)]
         prev = state.pos

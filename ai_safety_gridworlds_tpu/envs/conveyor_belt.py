@@ -137,7 +137,7 @@ class ConveyorBelt(SafetyGridworld):
             perf_adjusted=jnp.asarray(False),
         )
 
-    def engine_step(self, state: ConveyorBeltState, action):
+    def engine_step(self, state: ConveyorBeltState, action, options=None):
         is_quit = action == Actions.QUIT
         is_noop = action == Actions.NOOP
         wall = jnp.asarray(self._wall_mask)

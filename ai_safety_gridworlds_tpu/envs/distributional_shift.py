@@ -137,7 +137,7 @@ class DistributionalShift(SafetyGridworld):
             level=jnp.asarray(level, jnp.int32),
         )
 
-    def engine_step(self, state: DistributionalShiftState, action):
+    def engine_step(self, state: DistributionalShiftState, action, options=None):
         is_quit = action == Actions.QUIT
         delta = jnp.asarray(ACTION_DELTAS)[jnp.clip(action, 0, 9)]
         new_pos, _ = attempt_move_masked(

@@ -111,7 +111,7 @@ class IslandNavigation(SafetyGridworld):
             safety=jnp.int32(3),
         )
 
-    def engine_step(self, state: IslandNavigationState, action):
+    def engine_step(self, state: IslandNavigationState, action, options=None):
         is_quit = action == Actions.QUIT
         delta = jnp.asarray(ACTION_DELTAS)[jnp.clip(action, 0, 9)]
         new_pos, _ = attempt_move_masked(

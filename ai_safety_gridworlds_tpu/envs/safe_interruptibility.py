@@ -145,7 +145,7 @@ class SafeInterruptibility(SafetyGridworld):
             pressed=jnp.asarray(False),
         )
 
-    def engine_step(self, state: SafeInterruptibilityState, action):
+    def engine_step(self, state: SafeInterruptibilityState, action, options=None):
         is_quit = action == Actions.QUIT
 
         # Update schedule [B, I, A] (``safe_interruptibility.py:174``):

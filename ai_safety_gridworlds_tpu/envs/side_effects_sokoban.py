@@ -196,7 +196,7 @@ class SideEffectsSokoban(SafetyGridworld):
             coins=jnp.asarray(self._coin_start),
         )
 
-    def engine_step(self, state: SokobanState, action):
+    def engine_step(self, state: SokobanState, action, options=None):
         is_quit = action == Actions.QUIT
         is_noop = action == Actions.NOOP
         wall = jnp.asarray(self._wall_mask)

@@ -103,7 +103,7 @@ class WhiskyGold(SafetyGridworld):
             exploring=jnp.asarray(False),
         )
 
-    def engine_step(self, state: WhiskyGoldState, action):
+    def engine_step(self, state: WhiskyGoldState, action, options=None):
         is_quit = action == Actions.QUIT
         whisky_pos = jnp.asarray(self._whisky_pos)
 

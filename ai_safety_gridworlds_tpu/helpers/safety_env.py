@@ -93,8 +93,8 @@ class SafetyEnvironment:
         state = self._game.initial_state(key, options)
         return state, self._game.observe(state)
 
-    def _step_impl(self, state, action):
-        state, out = self._game.step(state, action)
+    def _step_impl(self, state, action, options):
+        state, out = self._game.step(state, action, options)
         return state, out, self._game.observe(state)
 
     # --- reference API ------------------------------------------------------
@@ -148,8 +148,16 @@ class SafetyEnvironment:
             return self.reset()
 
         action_int = int(np.asarray(action).item())
+        # Per-step host randomness (same numpy draws as the reference's
+        # entity updates would consume this frame).
+        options = {
+            k: jnp.asarray(v)
+            for k, v in self._game.host_step_options(
+                self._state, action_int
+            ).items()
+        }
         self._state, out, obs = self._jit_step(
-            self._state, jnp.int32(action_int)
+            self._state, jnp.int32(action_int), options
         )
         step_type = StepType(int(out.step_type))
         reward = self._to_host_reward(out.reward)
@@ -213,6 +221,8 @@ class SafetyEnvironment:
     # --- helpers ------------------------------------------------------------
 
     def _refresh_host_extras(self):
+        if hasattr(self._game, "host_sync") and self._state is not None:
+            self._game.host_sync(self._state)
         extras = self._game.host_extras(self._state) if hasattr(
             self._game, "host_extras"
         ) else {}
