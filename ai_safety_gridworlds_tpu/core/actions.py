@@ -49,12 +49,12 @@ class ActionsMo(enum.IntEnum):
 
 
 class Directions(enum.IntEnum):
-    """Absolute facing directions (reference: safety_game_mo_base.py:62-70)."""
+    """Absolute facing directions (reference: safety_game_mo_base.py:62-74)."""
 
-    UP = 0
+    LEFT = 0
     RIGHT = 1
-    DOWN = 2
-    LEFT = 3
+    UP = 2
+    DOWN = 3
 
 
 DEFAULT_ACTION_SET = [Actions.UP, Actions.DOWN, Actions.LEFT, Actions.RIGHT]
@@ -97,7 +97,7 @@ ACTION_DELTAS_MO = _delta_table(
     }
 )
 
-# Direction unit vectors indexed by Directions id.
+# Direction unit vectors indexed by Directions id (LEFT, RIGHT, UP, DOWN).
 DIRECTION_DELTAS = np.array(
-    [(-1, 0), (0, 1), (1, 0), (0, -1)], dtype=np.int32
+    [(0, -1), (0, 1), (-1, 0), (1, 0)], dtype=np.int32
 )

@@ -79,13 +79,17 @@ class SafetyEnvironment:
         # Probe episode to compute the observation spec, then drop it
         # (mirrors ``pycolab_interface.py:270-290`` / ``safety_game.py:179``).
         timestep = self.reset()
-        self._observation_spec = {
-            k: ArraySpec(v.shape, v.dtype, name=k)
+        self._observation_spec = self._compute_observation_spec(timestep)
+        self._drop_last_episode()
+
+    def _compute_observation_spec(self, timestep):
+        spec = {
+            k: ArraySpec(np.asarray(v).shape, np.asarray(v).dtype, name=k)
             for k, v in timestep.observation.items()
             if k != EXTRA_OBSERVATIONS
         }
-        self._observation_spec[EXTRA_OBSERVATIONS] = dict()
-        self._drop_last_episode()
+        spec[EXTRA_OBSERVATIONS] = dict()
+        return spec
 
     # --- jitted internals ---------------------------------------------------
 
