@@ -42,6 +42,7 @@ class EngineStep:
 
     reward: Any  # f32 [] (scalar suite) or f32 [n_dims] (MO suite)
     hidden_reward: jnp.ndarray  # f32 [] delta for this step
+    hidden_written: jnp.ndarray  # bool [] any add_hidden_reward call this step
     terminated: jnp.ndarray  # bool [] terminate_episode directive issued
     termination_reason: jnp.ndarray  # int32 [] (TerminationReason), NONE if not
     discount: jnp.ndarray  # f32 [] discount if terminated (default 0.0)
@@ -53,14 +54,20 @@ class EngineStep:
         reward,
         *,
         hidden_reward=0.0,
+        hidden_written=None,
         terminated=False,
         termination_reason=int(TerminationReason.NONE),
         discount=0.0,
         actual_action=-1,
     ) -> "EngineStep":
+        if hidden_written is None:
+            # Default heuristic: a nonzero delta implies a write. Envs where
+            # writes can cancel to zero pass the flag explicitly.
+            hidden_written = jnp.asarray(hidden_reward, jnp.float32) != 0.0
         return cls(
             reward=jnp.asarray(reward, jnp.float32),
             hidden_reward=jnp.asarray(hidden_reward, jnp.float32),
+            hidden_written=jnp.asarray(hidden_written, bool),
             terminated=jnp.asarray(terminated, bool),
             termination_reason=jnp.asarray(termination_reason, jnp.int32),
             discount=jnp.asarray(discount, jnp.float32),
@@ -78,6 +85,7 @@ class StepOut:
     game_over: jnp.ndarray  # bool [] — this step emitted LAST
     termination_reason: jnp.ndarray  # int32 []
     hidden_reward: jnp.ndarray  # f32 [] delta
+    hidden_written: jnp.ndarray  # bool []
     actual_action: jnp.ndarray  # int32 []
 
 
@@ -199,6 +207,7 @@ class SafetyGridworld:
             game_over=game_over,
             termination_reason=reason,
             hidden_reward=es.hidden_reward,
+            hidden_written=es.hidden_written,
             actual_action=es.actual_action,
         )
         return state, out
@@ -269,6 +278,7 @@ def episode_step(env: SafetyGridworld, ep: EpisodeState, action) -> tuple:
                 game_over=jnp.asarray(False),
                 termination_reason=jnp.int32(TerminationReason.NONE),
                 hidden_reward=jnp.float32(0.0),
+                hidden_written=jnp.asarray(False),
                 actual_action=jnp.int32(-1),
             ),
             final_return=env.zero_reward(),

@@ -203,6 +203,7 @@ class TomatoWatering(SafetyGridworld):
         return state, EngineStep.make(
             observed,
             hidden_reward=hidden,
+            hidden_written=True,
             terminated=is_quit,
             termination_reason=jnp.where(
                 is_quit,

@@ -75,6 +75,7 @@ class SafetyEnvironment:
 
         self._state = None
         self._last_step_type: Optional[StepType] = None
+        self._last_observation_dict: Optional[dict] = None
 
         # Probe episode to compute the observation spec, then drop it
         # (mirrors ``pycolab_interface.py:270-290`` / ``safety_game.py:179``).
@@ -138,11 +139,13 @@ class SafetyEnvironment:
         self._last_step_type = StepType.FIRST
         self._episode_return = 0.0
         self._hidden_return = 0.0
+        self._hidden_written = False
         for key_ in (TERMINATION_REASON, ACTUAL_ACTIONS):
             self._environment_data.pop(key_, None)
         self._refresh_host_extras()
         observation = self._to_host_obs(obs)
         observation[EXTRA_OBSERVATIONS] = {}
+        self._last_observation_dict = observation
         return TimeStep(StepType.FIRST, None, None, observation)
 
     def step(self, action) -> TimeStep:
@@ -172,6 +175,7 @@ class SafetyEnvironment:
         if reward is not None:
             self._episode_return = self._episode_return + reward
         self._hidden_return += float(out.hidden_reward)
+        self._hidden_written = self._hidden_written or bool(out.hidden_written)
         self._refresh_host_extras()
 
         extra = dict(self._get_agent_extra_observations())
@@ -193,6 +197,7 @@ class SafetyEnvironment:
 
         observation = self._to_host_obs(obs)
         observation[EXTRA_OBSERVATIONS] = extra
+        self._last_observation_dict = observation
         return TimeStep(step_type, reward, discount, observation)
 
     def get_overall_performance(self, default=None):
@@ -211,6 +216,10 @@ class SafetyEnvironment:
         )
 
     def _get_hidden_reward(self, default_reward=0):
+        # The plot's HIDDEN_REWARD entry exists only once some entity has
+        # called add_hidden_reward this episode (``safety_game.py:598-606``).
+        if not getattr(self, "_hidden_written", False):
+            return default_reward
         return self._hidden_return
 
     def _get_agent_extra_observations(self):
@@ -223,6 +232,18 @@ class SafetyEnvironment:
         return {}
 
     # --- helpers ------------------------------------------------------------
+
+    def char_board(self) -> np.ndarray:
+        """Current board as uint8 char codes (for ansi rendering)."""
+        if self._state is None:
+            raise RuntimeError("Environment has no live episode.")
+        return np.asarray(jax.jit(self._game.board)(self._state))
+
+    def last_observation(self) -> dict:
+        """The most recent observation dict (board/RGB/...)."""
+        if self._last_observation_dict is None:
+            raise RuntimeError("Environment has no live episode.")
+        return self._last_observation_dict
 
     def _refresh_host_extras(self):
         if hasattr(self._game, "host_sync") and self._state is not None:

@@ -329,6 +329,7 @@ class SafetyEnvironmentMo(SafetyEnvironment):
 
         observation = self._to_host_obs(obs)
         observation[EXTRA_OBSERVATIONS] = {}
+        self._last_observation_dict = observation
         timestep = TimeStep(StepType.FIRST, None, None, observation)
         return self._finish_timestep(timestep, do_not_replace_reward)
 
@@ -395,6 +396,7 @@ class SafetyEnvironmentMo(SafetyEnvironment):
 
         observation = self._to_host_obs(obs)
         observation[EXTRA_OBSERVATIONS] = extra
+        self._last_observation_dict = observation
         timestep = TimeStep(step_type, reward_vec, discount, observation)
         return self._finish_timestep(timestep, do_not_replace_reward=False)
 
