@@ -1,0 +1,281 @@
+"""Multi-agent (MO+MA) safety environment layer.
+
+Re-implements the semantics of the reference MA stack
+(``environments/shared/rl/pycolab_interface_ma.py:160-440``,
+``safety_game_ma.py:134-1159``, ``safety_game_moma.py:151-2150``) on the
+functional TPU core:
+
+* **sequential randomized sub-stepping**: one env step = a permutation of the
+  acting agents drawn from the env RNG; each agent's sub-step runs a FULL
+  engine sweep (the acting agent's sprite update plus every drape update),
+  advancing the frame counter by one per sub-step and consuming per-sub-step
+  drape randomness (``pycolab_interface_ma.py:176-239``);
+* **per-agent termination**: ``terminate_episode(..., agent)`` records a
+  per-agent reason; the episode ends when every agent has one, or when
+  ``frame >= max_iterations`` kills all (``safety_game_ma.py:986-1005``,
+  ``pycolab_interface_ma.py:424-430``);
+* **per-agent step types** MID→LAST→DEAD (``environment_ma.py:62-76``);
+* **per-agent vector rewards** aggregated across sub-steps
+  (``pycolab_interface_ma.py:420``) as an ``[n_agents, n_dims]`` array.
+
+The functional base models the SUB-STEP as the unit: subclasses implement
+``engine_substep(state, agent_idx, action, options, slot)``; the base
+assembles the randomized sequential loop (unrolled over the small static
+agent count, with each sub-step gated on the acting agent's aliveness).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
+from ai_safety_gridworlds_tpu.mo.safety_game_mo import MoSafetyGridworld
+
+
+@struct.dataclass
+class MaEngineStep:
+    """What one full MA step (all sub-steps) communicated to the engine."""
+
+    rewards: jnp.ndarray  # f32 [n_agents, n_dims] aggregated over sub-steps
+    termination_reasons: jnp.ndarray  # int32 [n_agents]; NONE if alive
+    discount: jnp.ndarray  # f32 []
+
+
+@struct.dataclass
+class MaStepOut:
+    step_types: jnp.ndarray  # int32 [n_agents]
+    rewards: jnp.ndarray  # f32 [n_agents, n_dims]
+    discount: jnp.ndarray  # f32 []
+    game_over: jnp.ndarray  # bool [] — episode ended for everyone
+    termination_reasons: jnp.ndarray  # int32 [n_agents]
+
+
+class MaSafetyGridworld(MoSafetyGridworld):
+    """Functional base for multi-agent multi-objective envs.
+
+    Subclass contract:
+      * ``n_agents`` / ``agent_chars`` attributes;
+      * ``State`` carries at least ``t``, ``key``, ``pos`` (int32 [n, 2]),
+        ``termination_reasons`` (int32 [n], NONE while alive), and
+        ``step_types`` (int32 [n]);
+      * ``engine_substep(state, agent_idx, action, options, slot) ->
+        (state, rewards_delta [n, dims])`` — one ``Engine.play({agent: act})``:
+        the acting agent's update plus all drape updates. Termination is
+        recorded by updating ``state.termination_reasons``. The frame counter
+        ``state.t`` is advanced by the caller.
+    """
+
+    n_agents: int = 2
+    agent_chars: str = "12"
+    randomize_agent_actions_order: bool = True
+
+    def engine_substep(self, state, agent_idx, action, options, slot):
+        raise NotImplementedError
+
+    def zero_rewards(self):
+        return jnp.zeros((self.n_agents, self.reward_space.n_dims), jnp.float32)
+
+    # ---------------------------------------------------------------- step
+
+    def step(self, state, actions, options=None):
+        """One full MA step.
+
+        Args:
+          state: env state.
+          actions: int32 [n_agents] — per-agent "step" action; −1 marks an
+            agent that is not acting this step (dead agents are excluded from
+            the actions dict in the reference, so no sub-step runs for them).
+          options: optional dict; may carry ``agent_order`` (int32 [n_agents]
+            permutation drawn on the host from the env Generator for parity)
+            plus env-specific per-sub-step randomness.
+
+        Returns:
+          (state, MaStepOut)
+        """
+        actions = jnp.asarray(actions, jnp.int32)
+        n = self.n_agents
+
+        if options is not None and "agent_order" in options:
+            order = jnp.asarray(options["agent_order"], jnp.int32)
+        elif self.randomize_agent_actions_order and n > 1:
+            key, sub = jax.random.split(state.key)
+            order = jax.random.permutation(sub, n).astype(jnp.int32)
+            state = state.replace(key=key)
+        else:
+            order = jnp.arange(n, dtype=jnp.int32)
+
+        rewards = self.zero_rewards()
+        # Unroll over sub-step slots (n is small and static). Each slot runs
+        # the sub-step for agent order[slot] iff that agent is acting.
+        for slot in range(n):
+            agent_idx = order[slot]
+            action = actions[agent_idx]
+            acting = action >= 0
+            frame_t = state.t + 1
+            new_state, delta = self.engine_substep(
+                state.replace(t=frame_t), agent_idx, action, options, slot
+            )
+            state = jax.tree.map(
+                lambda new, old: jnp.where(acting, new, old), new_state, state
+            )
+            rewards = rewards + jnp.where(acting, delta, 0.0)
+
+        # Max-iterations truncation kills all agents
+        # (``pycolab_interface_ma.py:429-430``).
+        truncated = state.t >= self.max_iterations
+        reasons = state.termination_reasons
+        game_over_per_agent = truncated | (
+            reasons != TerminationReason.NONE
+        )
+
+        # Per-agent step-type transitions MID→LAST→DEAD
+        # (``pycolab_interface_ma.py:232-239``).
+        prev_types = state.step_types
+        step_types = jnp.where(
+            game_over_per_agent,
+            jnp.where(
+                (prev_types == StepType.MID) | (prev_types == StepType.FIRST),
+                jnp.int32(StepType.LAST),
+                jnp.int32(StepType.DEAD),
+            ),
+            jnp.int32(StepType.MID),
+        )
+        state = state.replace(step_types=step_types)
+
+        all_over = jnp.all(game_over_per_agent)
+        reasons_out = jnp.where(
+            reasons != TerminationReason.NONE,
+            reasons,
+            jnp.where(
+                truncated,
+                jnp.int32(TerminationReason.MAX_STEPS),
+                jnp.int32(TerminationReason.NONE),
+            ),
+        )
+        # Discount: 0.0 once everyone is terminated by directive; stays 1.0
+        # for truncation (engine default).
+        discount = jnp.where(
+            jnp.all(reasons != TerminationReason.NONE),
+            jnp.float32(0.0),
+            jnp.float32(1.0),
+        )
+        out = MaStepOut(
+            step_types=step_types,
+            rewards=rewards,
+            discount=discount,
+            game_over=all_over,
+            termination_reasons=reasons_out,
+        )
+        return state, out
+
+    # ------------------------------------------------------------- helpers
+
+    def host_agent_order(self, np_random, acting_agents) -> np.ndarray:
+        """Shuffle the acting agents exactly as the reference does
+        (``pycolab_interface_ma.py:176-180``: ``Generator.shuffle`` of the
+        actions dict items). Returns int32 [n_agents]: the first
+        ``len(acting_agents)`` entries are the shuffled acting agent indices,
+        the rest are the non-acting agents (which the step loop skips)."""
+        items = list(acting_agents)
+        if self.randomize_agent_actions_order and len(items) > 1:
+            np_random.shuffle(items)
+        rest = [i for i in range(self.n_agents) if i not in set(items)]
+        return np.asarray(items + rest, dtype=np.int32)
+
+
+def agent_perspective(
+    board: np.ndarray,
+    position,
+    observation_direction: int,
+    what_lies_outside,
+    observation_radius=None,
+    observation_direction_mode: int = 0,
+) -> np.ndarray:
+    """Host-side agent-centric crop + pad + rotate of a board or layer.
+
+    Faithful port of the reference ``get_agent_perspective``
+    (``safety_game_moma.py:1996-2101``): crop by per-direction visibility,
+    pad outside the board with ``what_lies_outside``, then rotate k×90° so
+    the agent's observation direction faces up (only when the direction mode
+    is not fixed). ``observation_radius`` may be None (whole board,
+    agent-centric), a scalar, a 4-list indexed by Directions, or −1 (global
+    view, no transform).
+    """
+    from ai_safety_gridworlds_tpu.core.actions import Directions
+
+    h, w = board.shape[:2]
+    row, col = int(position[0]), int(position[1])
+
+    if observation_radius is None:
+        if observation_direction_mode == 0:
+            left = right = w - 1
+            top = bottom = h - 1
+        else:
+            m = max(h, w)
+            left = right = top = bottom = m - 1
+    elif np.isscalar(observation_radius):
+        if observation_radius == -1:
+            return board
+        left = right = top = bottom = int(observation_radius)
+    else:
+        r = observation_radius
+        if observation_direction_mode == 0:
+            left, right = r[Directions.LEFT], r[Directions.RIGHT]
+            top, bottom = r[Directions.UP], r[Directions.DOWN]
+        else:
+            d = observation_direction
+            if d == Directions.UP:
+                left, right = r[Directions.LEFT], r[Directions.RIGHT]
+                top, bottom = r[Directions.UP], r[Directions.DOWN]
+            elif d == Directions.DOWN:
+                left, right = r[Directions.RIGHT], r[Directions.LEFT]
+                top, bottom = r[Directions.DOWN], r[Directions.UP]
+            elif d == Directions.LEFT:
+                left, right = r[Directions.UP], r[Directions.DOWN]
+                top, bottom = r[Directions.RIGHT], r[Directions.LEFT]
+            elif d == Directions.RIGHT:
+                left, right = r[Directions.DOWN], r[Directions.UP]
+                top, bottom = r[Directions.LEFT], r[Directions.RIGHT]
+            else:
+                raise ValueError("Invalid observation_direction")
+
+    out = board[
+        max(0, row - top) : row + bottom + 1,
+        max(0, col - left) : col + right + 1,
+    ]
+    fill = what_lies_outside
+    if row - top < 0:
+        pad = np.full((top - row,) + out.shape[1:], fill, board.dtype)
+        out = np.concatenate([pad, out], axis=0)
+    if row + bottom + 1 > h:
+        pad = np.full(
+            (row + bottom + 1 - h,) + out.shape[1:], fill, board.dtype
+        )
+        out = np.concatenate([out, pad], axis=0)
+    if col - left < 0:
+        pad = np.full(
+            (out.shape[0], left - col) + out.shape[2:], fill, board.dtype
+        )
+        out = np.concatenate([pad, out], axis=1)
+    if col + right + 1 > w:
+        pad = np.full(
+            (out.shape[0], col + right + 1 - w) + out.shape[2:],
+            fill,
+            board.dtype,
+        )
+        out = np.concatenate([out, pad], axis=1)
+
+    if observation_direction_mode != 0:
+        d = observation_direction
+        if d == Directions.DOWN:
+            out = np.rot90(out, k=2)
+        elif d == Directions.LEFT:
+            out = np.rot90(out, k=-1)
+        elif d == Directions.RIGHT:
+            out = np.rot90(out, k=1)
+    return out

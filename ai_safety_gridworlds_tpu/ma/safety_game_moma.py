@@ -1,0 +1,363 @@
+"""Stateful multi-objective multi-agent environment shell.
+
+Mirrors the reference ``SafetyEnvironmentMoMa``
+(``safety_game_moma.py:151-2100``) + ``EnvironmentMa``
+(``pycolab_interface_ma.py:44-440``): dict-keyed per-agent step types,
+rewards, cumulative statistics, per-agent termination bookkeeping (DEAD
+states), randomized sequential sub-stepping driven by the env Generator, and
+agent-centric perspective observations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_safety_gridworlds_tpu.core.timestep import (
+    BoundedArraySpec,
+    StepType,
+    TerminationReason,
+)
+from ai_safety_gridworlds_tpu.helpers.safety_env import (
+    EXTRA_OBSERVATIONS,
+    TimeStep,
+)
+from ai_safety_gridworlds_tpu.ma.safety_game_ma import (
+    MaSafetyGridworld,
+    agent_perspective,
+)
+from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
+    CUMULATIVE_REWARD,
+    AVERAGE_REWARD,
+    CUMULATIVE_REWARD_DICT,
+    GINI_INDEX,
+    CUMULATIVE_GINI_INDEX,
+    INFO_ACTION_DIRECTION,
+    INFO_OBSERVATION_DIRECTION,
+    METRICS_DICT,
+    METRICS_MATRIX,
+    MO_VARIANCE,
+    CUMULATIVE_MO_VARIANCE,
+    AVERAGE_MO_VARIANCE,
+    REWARD_DICT,
+    SafetyEnvironmentMo,
+    gini_coefficient,
+)
+
+
+class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
+    """Multi-agent shell over a :class:`MaSafetyGridworld`."""
+
+    def __init__(self, game: MaSafetyGridworld, **kwargs):
+        self._agent_names = [c for c in game.agent_chars[: game.n_agents]]
+        self._episode_returns = np.zeros(
+            (game.n_agents, game.reward_space.n_dims), np.float64
+        )
+        super().__init__(game, **kwargs)
+        # Per-agent reward dimension keys + unit spaces
+        # (``safety_game_moma.py:273-280``). All agents share one reward
+        # space in this env family.
+        self.enabled_agents_reward_dimensions = {
+            a: list(game.reward_space.keys) for a in self._agent_names
+        }
+        unit = game.reward_space.unit_space()
+        self.reward_unit_space = {
+            a: [
+                np.array([float(x) for x in unit[0]]),
+                np.array([float(x) for x in unit[1]]),
+            ]
+            for a in self._agent_names
+        }
+
+    # ------------------------------------------------------------- helpers
+
+    @property
+    def agent_names(self):
+        return list(self._agent_names)
+
+    def _agent_index(self, agent) -> int:
+        return self._agent_names.index(agent)
+
+    def _normalize_actions(self, agents_actions) -> dict:
+        """Numeric actions become {"step": a} (``safety_game_ma.py:412-422``)."""
+        out = {}
+        for agent, action in agents_actions.items():
+            if isinstance(action, dict):
+                if "step" not in action:
+                    raise RuntimeError(
+                        "Multi-modal actions must contain a 'step' entry"
+                    )
+                out[agent] = action
+            else:
+                out[agent] = {"step": int(np.asarray(action).item())}
+        return out
+
+    # ----------------------------------------------------------------- api
+
+    def action_spec(self):
+        # MA envs return [discrete, continuous] spec lists when continuous
+        # modalities exist; plain discrete otherwise.
+        return BoundedArraySpec(
+            shape=(1,),
+            dtype="int32",
+            minimum=self._game.action_min,
+            maximum=self._game.action_max,
+            name="discrete",
+        )
+
+    def reset(self, *args, **kwargs) -> TimeStep:
+        timestep = super().reset(*args, **kwargs)
+        n = self._game.n_agents
+        self._episode_returns = np.zeros(
+            (n, self._game.reward_space.n_dims), np.float64
+        )
+        # Per-agent step types as a dict (``pycolab_interface_ma.py:161-171``).
+        step_types = {a: StepType.FIRST for a in self._agent_names}
+        return timestep._replace(step_type=step_types)
+
+    def step(self, agents_actions, q_value_per_action=None) -> TimeStep:
+        del q_value_per_action
+        agents_actions = self._normalize_actions(agents_actions)
+
+        state = self._state
+        prev_types = np.asarray(state.step_types)
+        acting = [self._agent_index(a) for a in agents_actions]
+
+        # Dead/LAST agents: commands rejected unless the episode can restart.
+        # The restart condition reproduces the reference expression verbatim,
+        # including its agent/agent2 mixing (``pycolab_interface_ma.py:211-218``:
+        # ``all(state[agent].dead() or state[agent2].last() ...)``).
+        for agent in agents_actions:
+            i = self._agent_index(agent)
+            if prev_types[i] in (int(StepType.LAST), int(StepType.DEAD)):
+                if all(
+                    prev_types[i] == int(StepType.DEAD)
+                    or prev_types[j] == int(StepType.LAST)
+                    for j in range(len(prev_types))
+                ):
+                    return self.reset()
+                raise ValueError(f"Agent {agent} is done")
+
+        # Host-drawn agent order, consuming the env Generator exactly like
+        # the reference shuffle.
+        order = self._game.host_agent_order(self._np_random, acting)
+        actions_arr = np.full((self._game.n_agents,), -1, np.int32)
+        for agent, action in agents_actions.items():
+            actions_arr[self._agent_index(agent)] = action["step"]
+
+        options = {
+            "agent_order": jnp.asarray(order),
+        }
+        options.update(
+            {
+                k: jnp.asarray(v)
+                for k, v in self._game.host_step_options(
+                    state, actions_arr
+                ).items()
+            }
+        )
+        self._state, out, obs = self._jit_step(
+            state, jnp.asarray(actions_arr), options
+        )
+
+        step_types = {
+            a: StepType(int(out.step_types[i]))
+            for i, a in enumerate(self._agent_names)
+        }
+        rewards_arr = np.asarray(out.rewards, np.float64)
+        self._episode_returns = self._episode_returns + rewards_arr
+        self._refresh_host_extras()
+
+        reward = {
+            a: (
+                np.float64(rewards_arr[i].sum())
+                if self.scalarise
+                else rewards_arr[i].copy()
+            )
+            for i, a in enumerate(self._agent_names)
+        }
+        discount = float(out.discount)
+
+        # Termination bookkeeping.
+        reasons = np.asarray(out.termination_reasons)
+        term_dict = {
+            a: (
+                TerminationReason(int(reasons[i]))
+                if reasons[i] != int(TerminationReason.NONE)
+                else None
+            )
+            for i, a in enumerate(self._agent_names)
+        }
+        self._environment_data["termination_reason"] = term_dict
+
+        self._last_step_type = (
+            StepType.LAST
+            if bool(out.game_over)
+            else StepType.MID
+        )
+        if bool(out.game_over):
+            self._episodic_performances.append(self._episode_returns.copy())
+
+        observation = self._to_host_obs(obs)
+        observation[EXTRA_OBSERVATIONS] = {
+            "termination_reason": term_dict,
+        }
+        self._attach_ma_stats(observation)
+        self._last_observation_dict = observation
+        return TimeStep(step_types, reward, discount, observation)
+
+    # ------------------------------------------------------------- stats
+
+    def _attach_ma_stats(self, obs):
+        keys = self.enabled_reward_dimension_keys
+        iteration = int(self._state.t)
+        metrics_dict = self._current_metrics()
+        obs[METRICS_DICT] = metrics_dict
+        obs[METRICS_MATRIX] = np.array(
+            [[k, v] for k, v in metrics_dict.items()], dtype=object
+        )
+        cumulative = {}
+        average = {}
+        gini = {}
+        cum_gini = {}
+        variance = {}
+        cum_var = {}
+        avg_var = {}
+        reward_dicts = {}
+        cum_dicts = {}
+        for i, a in enumerate(self._agent_names):
+            dims = self._episode_returns[i]
+            avg = dims / (iteration + 1)
+            cumulative[a] = (
+                np.float64(dims.sum()) if self.scalarise else dims.copy()
+            )
+            average[a] = (
+                np.float64(avg.sum()) if self.scalarise else avg.copy()
+            )
+            gini[a] = gini_coefficient(dims * 0) * 100  # per-step set below
+            cum_gini[a] = gini_coefficient(dims) * 100
+            variance[a] = np.var(dims * 0, ddof=0)
+            cum_var[a] = np.var(dims, ddof=0)
+            avg_var[a] = np.var(avg, ddof=0)
+            cum_dicts[a] = dict(zip(keys, dims.tolist()))
+        obs[CUMULATIVE_REWARD] = cumulative
+        obs[AVERAGE_REWARD] = average
+        obs[GINI_INDEX] = gini
+        obs[CUMULATIVE_GINI_INDEX] = cum_gini
+        obs[MO_VARIANCE] = variance
+        obs[CUMULATIVE_MO_VARIANCE] = cum_var
+        obs[AVERAGE_MO_VARIANCE] = avg_var
+        obs[CUMULATIVE_REWARD_DICT] = cum_dicts
+        obs[REWARD_DICT] = reward_dicts
+        # Per-agent directions.
+        if hasattr(self._state, "observation_direction"):
+            obs[INFO_OBSERVATION_DIRECTION] = {
+                a: int(np.asarray(self._state.observation_direction)[i])
+                for i, a in enumerate(self._agent_names)
+            }
+        if hasattr(self._state, "action_direction"):
+            obs[INFO_ACTION_DIRECTION] = {
+                a: int(np.asarray(self._state.action_direction)[i])
+                for i, a in enumerate(self._agent_names)
+            }
+
+    def _finish_timestep(self, timestep, do_not_replace_reward):
+        # The MA shell computes its own per-agent stats in step(); the MO
+        # single-agent pipeline does not apply.
+        if timestep.first():
+            self._attach_ma_stats(timestep.observation)
+        return timestep
+
+    # ------------------------------------------------------- perspectives
+
+    def agent_perspectives_with_layers(
+        self,
+        observation,
+        include_layers=True,
+        board=True,
+        ascii=True,
+        observe_from_agent_coordinates=None,
+        observe_from_agent_directions=None,
+    ):
+        """Per-agent transformed boards/ascii/layers
+        (``safety_game_moma.py:430-530``)."""
+        game = self._game
+        obs_dirs = (
+            np.asarray(self._state.observation_direction)
+            if hasattr(self._state, "observation_direction")
+            else np.full((game.n_agents,), 2, np.int32)
+        )
+        positions = np.asarray(self._state.pos)
+        outside_chr = ord(game.what_lies_outside)
+        outside_value = float(
+            np.asarray(game._value_lut)[outside_chr]
+        )
+
+        out = {}
+        for i, a in enumerate(self._agent_names):
+            pos = (
+                observe_from_agent_coordinates[a]
+                if observe_from_agent_coordinates
+                and a in observe_from_agent_coordinates
+                else positions[i]
+            )
+            direction = (
+                observe_from_agent_directions[a]
+                if observe_from_agent_directions
+                and a in observe_from_agent_directions
+                else int(obs_dirs[i])
+            )
+
+            def persp(arr, fill):
+                return agent_perspective(
+                    np.asarray(arr),
+                    pos,
+                    direction,
+                    fill,
+                    observation_radius=game.observation_radius,
+                    observation_direction_mode=game.observation_direction_mode,
+                )
+
+            entry = {"layers": {}}
+            if include_layers and "layers" in observation:
+                for layer_key, layer in observation["layers"].items():
+                    entry["layers"][layer_key] = persp(
+                        np.asarray(layer),
+                        layer_key == game.what_lies_outside,
+                    )
+            if board:
+                entry["board"] = persp(
+                    observation["board"], outside_value
+                )
+            if ascii:
+                codes = persp(
+                    observation["ascii_codes"], outside_chr
+                )
+                entry["ascii"] = codes.astype(np.uint32).view("U1")
+            out[a] = entry
+        return out
+
+    def get_overall_performance(self, default=None):
+        if len(self._episodic_performances) < 1:
+            return default
+        mean = np.mean(np.stack(self._episodic_performances), axis=0)
+        out = {}
+        for i, a in enumerate(self._agent_names):
+            out[a] = (
+                np.float64(mean[i].sum()) if self.scalarise else mean[i]
+            )
+        return out
+
+    def get_last_performance(self, default=None):
+        if len(self._episodic_performances) < 1:
+            return default
+        last = self._episodic_performances[-1]
+        return {
+            a: (
+                np.float64(last[i].sum()) if self.scalarise else last[i]
+            )
+            for i, a in enumerate(self._agent_names)
+        }
