@@ -25,7 +25,9 @@ def _make_scalar(env_cls):
     from ai_safety_gridworlds_tpu.helpers.safety_env import SafetyEnvironment
 
     def ctor(*args, **kwargs):
-        return SafetyEnvironment(env_cls(*args, **kwargs))
+        kwargs.pop("scalarise", None)  # scalar envs are already scalar
+        seed = kwargs.pop("seed", None)
+        return SafetyEnvironment(env_cls(*args, **kwargs), seed=seed)
 
     return ctor
 
@@ -49,6 +51,31 @@ def _make_mo(env_cls):
             k: kwargs.pop(k) for k in list(kwargs) if k in wrapper_keys
         }
         return SafetyEnvironmentMo(env_cls(*args, **kwargs), **wrapper_kwargs)
+
+    return ctor
+
+
+def _make_moma(env_cls):
+    from ai_safety_gridworlds_tpu.ma.safety_game_moma import (
+        SafetyEnvironmentMoMa,
+    )
+
+    def ctor(*args, **kwargs):
+        wrapper_keys = (
+            "scalarise",
+            "seed",
+            "log_columns",
+            "log_dir",
+            "log_arguments",
+            "log_arguments_to_separate_file",
+            "log_filename_comment",
+            "gzip_log",
+            "flags_dict",
+        )
+        wrapper_kwargs = {
+            k: kwargs.pop(k) for k in list(kwargs) if k in wrapper_keys
+        }
+        return SafetyEnvironmentMoMa(env_cls(*args, **kwargs), **wrapper_kwargs)
 
     return ctor
 
@@ -81,7 +108,21 @@ def _populate():
     )
     from ai_safety_gridworlds_tpu.envs.whisky_gold import WhiskyGold
 
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+        IslandNavigationExMa,
+    )
+
+    from ai_safety_gridworlds_tpu.envs.conveyor_belt_ex import ConveyorBeltEx
+    from ai_safety_gridworlds_tpu.envs.safe_interruptibility_ex import (
+        SafeInterruptibilityEx,
+    )
+
     register("boat_race", _make_scalar(BoatRace))
+    register("island_navigation_ex_ma", _make_moma(IslandNavigationExMa))
+    register("firemaker_ex_ma", _make_moma(FiremakerExMa))
+    register("conveyor_belt_ex", _make_mo(ConveyorBeltEx))
+    register("safe_interruptibility_ex", _make_mo(SafeInterruptibilityEx))
     register("boat_race_ex", _make_mo(BoatRaceEx))
     register("island_navigation", _make_scalar(IslandNavigation))
     register("island_navigation_ex", _make_mo(IslandNavigationEx))

@@ -77,8 +77,85 @@ class MaSafetyGridworld(MoSafetyGridworld):
     def engine_substep(self, state, agent_idx, action, options, slot):
         raise NotImplementedError
 
+    def agent_reward_keys(self) -> dict:
+        """Per-agent enabled reward dimension keys
+        (``ma_reward.get_enabled_agent_rewards_keys``, ``ma_reward.py:123``).
+        The kernel works in the UNION space (``self.reward_space``); agents
+        with heterogeneous reward sets (e.g. firemaker workers vs supervisor)
+        set ``enabled_ma_rewards``; the wrapper slices union rows down to
+        each agent's keys."""
+        enabled_ma = getattr(self, "enabled_ma_rewards", None)
+        if enabled_ma is not None:
+            from ai_safety_gridworlds_tpu.mo.mo_reward import mo_reward
+
+            return {
+                a: mo_reward.get_enabled_reward_dimension_keys(rewards)
+                for a, rewards in enabled_ma.items()
+            }
+        return {
+            c: list(self.reward_space.keys)
+            for c in self.agent_chars[: self.n_agents]
+        }
+
     def zero_rewards(self):
         return jnp.zeros((self.n_agents, self.reward_space.n_dims), jnp.float32)
+
+    def apply_substep(self, state, agent_idx, action, options, slot):
+        """Run one gated sub-step: advances the frame and applies the acting
+        agent's engine sweep iff ``action >= 0``. Returns (state, rewards)."""
+        action = jnp.asarray(action, jnp.int32)
+        acting = action >= 0
+        frame_t = state.t + 1
+        new_state, delta = self.engine_substep(
+            state.replace(t=frame_t), agent_idx, action, options, slot
+        )
+        state = jax.tree.map(
+            lambda new, old: jnp.where(acting, new, old), new_state, state
+        )
+        return state, jnp.where(acting, delta, 0.0)
+
+    def finalize_step(self, state, rewards):
+        """Post-sub-step bookkeeping: truncation, per-agent step types,
+        termination reasons, discount."""
+        truncated = state.t >= self.max_iterations
+        reasons = state.termination_reasons
+        game_over_per_agent = truncated | (reasons != TerminationReason.NONE)
+
+        prev_types = state.step_types
+        step_types = jnp.where(
+            game_over_per_agent,
+            jnp.where(
+                (prev_types == StepType.MID) | (prev_types == StepType.FIRST),
+                jnp.int32(StepType.LAST),
+                jnp.int32(StepType.DEAD),
+            ),
+            jnp.int32(StepType.MID),
+        )
+        state = state.replace(step_types=step_types)
+
+        all_over = jnp.all(game_over_per_agent)
+        reasons_out = jnp.where(
+            reasons != TerminationReason.NONE,
+            reasons,
+            jnp.where(
+                truncated,
+                jnp.int32(TerminationReason.MAX_STEPS),
+                jnp.int32(TerminationReason.NONE),
+            ),
+        )
+        discount = jnp.where(
+            jnp.all(reasons != TerminationReason.NONE),
+            jnp.float32(0.0),
+            jnp.float32(1.0),
+        )
+        out = MaStepOut(
+            step_types=step_types,
+            rewards=rewards,
+            discount=discount,
+            game_over=all_over,
+            termination_reasons=reasons_out,
+        )
+        return state, out
 
     # ---------------------------------------------------------------- step
 
@@ -114,64 +191,12 @@ class MaSafetyGridworld(MoSafetyGridworld):
         # the sub-step for agent order[slot] iff that agent is acting.
         for slot in range(n):
             agent_idx = order[slot]
-            action = actions[agent_idx]
-            acting = action >= 0
-            frame_t = state.t + 1
-            new_state, delta = self.engine_substep(
-                state.replace(t=frame_t), agent_idx, action, options, slot
+            state, delta = self.apply_substep(
+                state, agent_idx, actions[agent_idx], options, slot
             )
-            state = jax.tree.map(
-                lambda new, old: jnp.where(acting, new, old), new_state, state
-            )
-            rewards = rewards + jnp.where(acting, delta, 0.0)
+            rewards = rewards + delta
 
-        # Max-iterations truncation kills all agents
-        # (``pycolab_interface_ma.py:429-430``).
-        truncated = state.t >= self.max_iterations
-        reasons = state.termination_reasons
-        game_over_per_agent = truncated | (
-            reasons != TerminationReason.NONE
-        )
-
-        # Per-agent step-type transitions MID→LAST→DEAD
-        # (``pycolab_interface_ma.py:232-239``).
-        prev_types = state.step_types
-        step_types = jnp.where(
-            game_over_per_agent,
-            jnp.where(
-                (prev_types == StepType.MID) | (prev_types == StepType.FIRST),
-                jnp.int32(StepType.LAST),
-                jnp.int32(StepType.DEAD),
-            ),
-            jnp.int32(StepType.MID),
-        )
-        state = state.replace(step_types=step_types)
-
-        all_over = jnp.all(game_over_per_agent)
-        reasons_out = jnp.where(
-            reasons != TerminationReason.NONE,
-            reasons,
-            jnp.where(
-                truncated,
-                jnp.int32(TerminationReason.MAX_STEPS),
-                jnp.int32(TerminationReason.NONE),
-            ),
-        )
-        # Discount: 0.0 once everyone is terminated by directive; stays 1.0
-        # for truncation (engine default).
-        discount = jnp.where(
-            jnp.all(reasons != TerminationReason.NONE),
-            jnp.float32(0.0),
-            jnp.float32(1.0),
-        )
-        out = MaStepOut(
-            step_types=step_types,
-            rewards=rewards,
-            discount=discount,
-            game_over=all_over,
-            termination_reasons=reasons_out,
-        )
-        return state, out
+        return self.finalize_step(state, rewards)
 
     # ------------------------------------------------------------- helpers
 

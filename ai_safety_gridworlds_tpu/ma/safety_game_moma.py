@@ -56,21 +56,46 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         self._episode_returns = np.zeros(
             (game.n_agents, game.reward_space.n_dims), np.float64
         )
+        # Per-agent reward dimension keys + index maps into the kernel's
+        # union reward space (``safety_game_moma.py:273-280``); needed before
+        # the probe reset in super().__init__.
+        self.enabled_agents_reward_dimensions = game.agent_reward_keys()
+        union_index = {k: i for i, k in enumerate(game.reward_space.keys)}
+        self._agent_reward_index = {
+            a: np.asarray(
+                [union_index[k] for k in keys], dtype=np.int64
+            )
+            for a, keys in self.enabled_agents_reward_dimensions.items()
+        }
         super().__init__(game, **kwargs)
-        # Per-agent reward dimension keys + unit spaces
-        # (``safety_game_moma.py:273-280``). All agents share one reward
-        # space in this env family.
-        self.enabled_agents_reward_dimensions = {
-            a: list(game.reward_space.keys) for a in self._agent_names
-        }
-        unit = game.reward_space.unit_space()
-        self.reward_unit_space = {
-            a: [
-                np.array([float(x) for x in unit[0]]),
-                np.array([float(x) for x in unit[1]]),
-            ]
-            for a in self._agent_names
-        }
+        enabled_ma = getattr(game, "enabled_ma_rewards", None)
+        if enabled_ma is not None:
+            from ai_safety_gridworlds_tpu.mo.mo_reward import mo_reward
+
+            self.reward_unit_space = {
+                a: [
+                    np.array(
+                        [float(x) for x in space[0]]
+                    ),
+                    np.array([float(x) for x in space[1]]),
+                ]
+                for a, space in (
+                    (a, mo_reward.get_enabled_reward_unit_space(rewards))
+                    for a, rewards in enabled_ma.items()
+                )
+            }
+        else:
+            unit = game.reward_space.unit_space()
+            self.reward_unit_space = {
+                a: [
+                    np.array([float(x) for x in unit[0]]),
+                    np.array([float(x) for x in unit[1]]),
+                ]
+                for a in self._agent_names
+            }
+
+    def _agent_reward_vector(self, union_row: np.ndarray, agent: str):
+        return union_row[self._agent_reward_index[agent]]
 
     # ------------------------------------------------------------- helpers
 
@@ -148,20 +173,55 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         for agent, action in agents_actions.items():
             actions_arr[self._agent_index(agent)] = action["step"]
 
-        options = {
-            "agent_order": jnp.asarray(order),
-        }
-        options.update(
-            {
-                k: jnp.asarray(v)
-                for k, v in self._game.host_step_options(
-                    state, actions_arr
-                ).items()
+        if hasattr(self._game, "host_substep_options"):
+            # Sub-step-granular host randomness (e.g. firemaker's fire
+            # spread): loop the slots on host, drawing each sub-step's
+            # randomness from the env Generator against the live state.
+            if not hasattr(self, "_jit_substep"):
+                self._jit_substep = jax.jit(
+                    self._game.apply_substep, static_argnames=("slot",)
+                )
+                self._jit_finalize = jax.jit(self._game.finalize_step)
+            rewards = np.zeros(
+                (self._game.n_agents, self._game.reward_space.n_dims),
+                np.float32,
+            )
+            for slot in range(self._game.n_agents):
+                agent_idx = int(order[slot])
+                action = int(actions_arr[agent_idx])
+                sub_options = {
+                    k: jnp.asarray(v)
+                    for k, v in self._game.host_substep_options(
+                        state, agent_idx, action, self._np_random
+                    ).items()
+                }
+                state, delta = self._jit_substep(
+                    state,
+                    jnp.int32(agent_idx),
+                    jnp.int32(action),
+                    sub_options,
+                    slot,
+                )
+                rewards = rewards + np.asarray(delta)
+            self._state, out = self._jit_finalize(
+                state, jnp.asarray(rewards)
+            )
+            obs = jax.jit(self._game.observe)(self._state)
+        else:
+            options = {
+                "agent_order": jnp.asarray(order),
             }
-        )
-        self._state, out, obs = self._jit_step(
-            state, jnp.asarray(actions_arr), options
-        )
+            options.update(
+                {
+                    k: jnp.asarray(v)
+                    for k, v in self._game.host_step_options(
+                        state, actions_arr
+                    ).items()
+                }
+            )
+            self._state, out, obs = self._jit_step(
+                state, jnp.asarray(actions_arr), options
+            )
 
         step_types = {
             a: StepType(int(out.step_types[i]))
@@ -175,7 +235,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             a: (
                 np.float64(rewards_arr[i].sum())
                 if self.scalarise
-                else rewards_arr[i].copy()
+                else self._agent_reward_vector(rewards_arr[i], a)
             )
             for i, a in enumerate(self._agent_names)
         }
@@ -229,7 +289,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         reward_dicts = {}
         cum_dicts = {}
         for i, a in enumerate(self._agent_names):
-            dims = self._episode_returns[i]
+            dims = self._agent_reward_vector(self._episode_returns[i], a)
             avg = dims / (iteration + 1)
             cumulative[a] = (
                 np.float64(dims.sum()) if self.scalarise else dims.copy()
@@ -242,7 +302,9 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             variance[a] = np.var(dims * 0, ddof=0)
             cum_var[a] = np.var(dims, ddof=0)
             avg_var[a] = np.var(avg, ddof=0)
-            cum_dicts[a] = dict(zip(keys, dims.tolist()))
+            cum_dicts[a] = dict(
+                zip(self.enabled_agents_reward_dimensions[a], dims.tolist())
+            )
         obs[CUMULATIVE_REWARD] = cumulative
         obs[AVERAGE_REWARD] = average
         obs[GINI_INDEX] = gini
@@ -311,13 +373,19 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                 else int(obs_dirs[i])
             )
 
+            radius = (
+                game.agent_observation_radii[i]
+                if hasattr(game, "agent_observation_radii")
+                else game.observation_radius
+            )
+
             def persp(arr, fill):
                 return agent_perspective(
                     np.asarray(arr),
                     pos,
                     direction,
                     fill,
-                    observation_radius=game.observation_radius,
+                    observation_radius=radius,
                     observation_direction_mode=game.observation_direction_mode,
                 )
 
@@ -346,9 +414,8 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         mean = np.mean(np.stack(self._episodic_performances), axis=0)
         out = {}
         for i, a in enumerate(self._agent_names):
-            out[a] = (
-                np.float64(mean[i].sum()) if self.scalarise else mean[i]
-            )
+            dims = self._agent_reward_vector(mean[i], a)
+            out[a] = np.float64(dims.sum()) if self.scalarise else dims
         return out
 
     def get_last_performance(self, default=None):
@@ -357,7 +424,9 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         last = self._episodic_performances[-1]
         return {
             a: (
-                np.float64(last[i].sum()) if self.scalarise else last[i]
+                np.float64(self._agent_reward_vector(last[i], a).sum())
+                if self.scalarise
+                else self._agent_reward_vector(last[i], a)
             )
             for i, a in enumerate(self._agent_names)
         }

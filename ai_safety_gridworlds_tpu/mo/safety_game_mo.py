@@ -308,11 +308,16 @@ class SafetyEnvironmentMo(SafetyEnvironment):
             ):
                 statics["episode_no"] += 1
 
-        # Build the new episode.
-        options_dict = {
-            k: jnp.asarray(v)
-            for k, v in self._game.host_reset_options().items()
-        }
+        # Build the new episode. Envs that draw per-episode randomness from
+        # the env Generator (not the global stream) use the *_with_generator
+        # hook (e.g. safe_interruptibility_ex).
+        if hasattr(self._game, "host_reset_options_with_generator"):
+            raw_options = self._game.host_reset_options_with_generator(
+                self._np_random
+            )
+        else:
+            raw_options = self._game.host_reset_options()
+        options_dict = {k: jnp.asarray(v) for k, v in raw_options.items()}
         key = jax.random.PRNGKey(
             np.uint32(statics.get("jax_seed", 0))
             + np.uint32(statics["episode_no"])
