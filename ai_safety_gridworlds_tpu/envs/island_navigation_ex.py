@@ -543,7 +543,12 @@ class IslandNavigationEx(MoSafetyGridworld):
                 ),
                 drink_avail,
             )
-            # NON_DRINK_REWARD adds zeros to the DRINK dim; numerically no-op.
+            # NON_DRINK_REWARD when not on the drink tile
+            # (``island_navigation_ex.py:510-511``); zero by default but
+            # experiments may override it.
+            reward = reward + self.rvec(cfg["NON_DRINK_REWARD"]) * (
+                ~on_drink & active
+            ).astype(jnp.float32)
 
         # Food tile (``island_navigation_ex.py:513-527``).
         if self._has[FOOD_CHR]:
@@ -574,6 +579,9 @@ class IslandNavigationEx(MoSafetyGridworld):
                 jnp.maximum(0.0, food_avail - cfg["FOOD_EXTRACTION_RATE"]),
                 food_avail,
             )
+            reward = reward + self.rvec(cfg["NON_FOOD_REWARD"]) * (
+                ~on_food & active
+            ).astype(jnp.float32)
 
         # Gold / silver (``island_navigation_ex.py:529-541``).
         if self._has[GOLD_CHR]:
@@ -595,6 +603,10 @@ class IslandNavigationEx(MoSafetyGridworld):
             (pos_chr == ord(GAP_CHR)) | (pos_chr == ord(AGENT_CHR))
         ) & active
         visits = visits.at[0].add(on_gap.astype(jnp.int32))
+        # GAP_REWARD on gap tiles (``island_navigation_ex.py:543-548``).
+        reward = reward + self.rvec(cfg["GAP_REWARD"]) * on_gap.astype(
+            jnp.float32
+        )
 
         # Deficiency / oversatiation penalties
         # (``island_navigation_ex.py:550-571``).

@@ -145,6 +145,19 @@ def _populate():
                 lambda **kw: ConveyorBelt(variant=v, **kw)
             ))(variant),
         )
+    _populate_experiments()
+
+
+def _populate_experiments():
+    from ai_safety_gridworlds_tpu.experiments import presets
+
+    for name in presets.experiment_names():
+        register(
+            name,
+            (lambda n: lambda *a, **kw: presets.make_experiment(n, **kw))(
+                name
+            ),
+        )
 
 
 def env_names():
