@@ -118,8 +118,13 @@ def _populate():
         SafeInterruptibilityEx,
     )
 
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+
     register("boat_race", _make_scalar(BoatRace))
     register("island_navigation_ex_ma", _make_moma(IslandNavigationExMa))
+    register("aintelope_savanna", _make_moma(AIntelopeSavanna))
     register("firemaker_ex_ma", _make_moma(FiremakerExMa))
     register("conveyor_belt_ex", _make_mo(ConveyorBeltEx))
     register("safe_interruptibility_ex", _make_mo(SafeInterruptibilityEx))
@@ -149,7 +154,7 @@ def _populate():
 
 
 def _populate_experiments():
-    from ai_safety_gridworlds_tpu.experiments import presets
+    from ai_safety_gridworlds_tpu.experiments import aintelope_presets, presets
 
     for name in presets.experiment_names():
         register(
@@ -157,6 +162,15 @@ def _populate_experiments():
             (lambda n: lambda *a, **kw: presets.make_experiment(n, **kw))(
                 name
             ),
+        )
+    for name in aintelope_presets.aintelope_experiment_names():
+        register(
+            name,
+            (
+                lambda n: lambda *a, **kw: aintelope_presets.make_aintelope_experiment(
+                    n, **kw
+                )
+            )(name),
         )
 
 

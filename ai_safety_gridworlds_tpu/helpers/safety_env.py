@@ -63,6 +63,9 @@ class SafetyEnvironment:
         seed: Optional[int] = None,
     ):
         self._game = game
+        # Back-pointer so games can read wrapper counters (seed, layout seed,
+        # episode number) for per-episode randomization cache keys.
+        game._wrapper = self
         self._environment_data: dict = {}
         self._episodic_performances: list = []
         self._episode_return = 0.0

@@ -37,6 +37,7 @@ from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
     CUMULATIVE_GINI_INDEX,
     INFO_ACTION_DIRECTION,
     INFO_OBSERVATION_DIRECTION,
+    LOG_QVALUES_PER_TILETYPE,
     METRICS_DICT,
     METRICS_MATRIX,
     MO_VARIANCE,
@@ -144,7 +145,12 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         return timestep._replace(step_type=step_types)
 
     def step(self, agents_actions, q_value_per_action=None) -> TimeStep:
-        del q_value_per_action
+        if q_value_per_action is None:
+            q_value_per_action = self.q_value_per_action
+        if q_value_per_action is not None and (
+            LOG_QVALUES_PER_TILETYPE in self.log_columns
+        ):
+            self._update_q_values_ma(agents_actions, q_value_per_action)
         agents_actions = self._normalize_actions(agents_actions)
 
         state = self._state
@@ -173,7 +179,31 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         for agent, action in agents_actions.items():
             actions_arr[self._agent_index(agent)] = action["step"]
 
-        if hasattr(self._game, "host_substep_options"):
+        if hasattr(self._game, "host_substep"):
+            # Full host-mirror sub-stepping (e.g. aintelope_savanna): the
+            # parity path executes the numpy mirror, consuming the env
+            # Generator exactly like the reference; the device kernel is the
+            # batched TPU path.
+            rewards = np.zeros(
+                (self._game.n_agents, self._game.reward_space.n_dims),
+                np.float32,
+            )
+            for slot in range(self._game.n_agents):
+                agent_idx = int(order[slot])
+                action = int(actions_arr[agent_idx])
+                if action < 0:
+                    continue
+                state, delta = self._game.host_substep(
+                    state, agent_idx, action, self._np_random
+                )
+                rewards = rewards + np.asarray(delta, np.float32)
+            if not hasattr(self, "_jit_finalize"):
+                self._jit_finalize = jax.jit(self._game.finalize_step)
+            self._state, out = self._jit_finalize(
+                state, jnp.asarray(rewards)
+            )
+            obs = jax.jit(self._game.observe)(self._state)
+        elif hasattr(self._game, "host_substep_options"):
             # Sub-step-granular host randomness (e.g. firemaker's fire
             # spread): loop the slots on host, drawing each sub-step's
             # randomness from the env Generator against the live state.
@@ -267,7 +297,255 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         }
         self._attach_ma_stats(observation)
         self._last_observation_dict = observation
+        if self.log_columns and int(np.asarray(self._state.t)) > 0:
+            f = self._statics.get("log_file_handle")
+            if f:
+                self._write_ma_log_row(f, rewards_arr, observation)
         return TimeStep(step_types, reward, discount, observation)
+
+    # --------------------------------------------------------- CSV logging
+
+    def _agent_log_columns(self, prefix):
+        return [
+            prefix + "_" + a + "_" + k
+            for a in self._agent_names
+            for k in self.enabled_agents_reward_dimensions[a]
+        ]
+
+    def _write_log_header(self, f):
+        """Per-agent CSV header (``safety_game_moma.py:901-981``). Deviation
+        from upstream: dict-valued columns are flattened to explicit
+        ``<column>_<agent>[_<dim>]`` columns (the upstream writer emits
+        Python dict reprs for these cells)."""
+        import csv as _csv
+
+        from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
+            LOG_AVERAGE_MO_VARIANCE,
+            LOG_AVERAGE_REWARD,
+            LOG_CUMULATIVE_GINI_INDEX,
+            LOG_CUMULATIVE_MO_VARIANCE,
+            LOG_CUMULATIVE_REWARD,
+            LOG_GINI_INDEX,
+            LOG_METRICS,
+            LOG_MO_VARIANCE,
+            LOG_REWARD,
+            LOG_SCALAR_AVERAGE_REWARD,
+            LOG_SCALAR_CUMULATIVE_REWARD,
+            LOG_SCALAR_REWARD,
+            TILE_TYPES,
+        )
+
+        writer = _csv.writer(f, quoting=_csv.QUOTE_MINIMAL, delimiter=";")
+        data = []
+        for col in self.log_columns:
+            if col == LOG_REWARD:
+                data += self._agent_log_columns(LOG_REWARD)
+            elif col == LOG_CUMULATIVE_REWARD:
+                data += self._agent_log_columns(LOG_CUMULATIVE_REWARD)
+            elif col == LOG_AVERAGE_REWARD:
+                data += self._agent_log_columns(LOG_AVERAGE_REWARD)
+            elif col in (
+                LOG_SCALAR_REWARD,
+                LOG_SCALAR_CUMULATIVE_REWARD,
+                LOG_SCALAR_AVERAGE_REWARD,
+                LOG_GINI_INDEX,
+                LOG_CUMULATIVE_GINI_INDEX,
+                LOG_MO_VARIANCE,
+                LOG_CUMULATIVE_MO_VARIANCE,
+                LOG_AVERAGE_MO_VARIANCE,
+            ):
+                data += [col + "_" + a for a in self._agent_names]
+            elif col == LOG_METRICS:
+                data += [LOG_METRICS + "_" + k for k in self.metrics_keys]
+            elif col == LOG_QVALUES_PER_TILETYPE:
+                tile_types = self._environment_data.get(TILE_TYPES, [])
+                data += [
+                    LOG_QVALUES_PER_TILETYPE
+                    + "_" + a + "_" + t.strip() + "_" + k
+                    for a in self._agent_names
+                    for t in tile_types
+                    for k in self.enabled_agents_reward_dimensions[a]
+                ]
+            else:
+                data.append(col)
+        writer.writerow(data)
+        f.flush()
+
+    def _write_ma_log_row(self, f, rewards_arr, observation):
+        import csv as _csv
+        import datetime as _dt
+
+        from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
+            AVERAGE_MO_VARIANCE,
+            AVERAGE_REWARD,
+            CUMULATIVE_GINI_INDEX,
+            CUMULATIVE_MO_VARIANCE,
+            CUMULATIVE_REWARD,
+            GINI_INDEX,
+            LOG_ARGUMENTS,
+            LOG_AVERAGE_MO_VARIANCE,
+            LOG_AVERAGE_REWARD,
+            LOG_CUMULATIVE_GINI_INDEX,
+            LOG_CUMULATIVE_MO_VARIANCE,
+            LOG_CUMULATIVE_REWARD,
+            LOG_ENV_LAYOUT_SEED,
+            LOG_ENV_SEED,
+            LOG_ENVIRONMENT,
+            LOG_EPISODE,
+            LOG_GINI_INDEX,
+            LOG_ITERATION,
+            LOG_METRICS,
+            LOG_MO_VARIANCE,
+            LOG_REWARD,
+            LOG_SCALAR_AVERAGE_REWARD,
+            LOG_SCALAR_CUMULATIVE_REWARD,
+            LOG_SCALAR_REWARD,
+            LOG_TIMESTAMP,
+            LOG_TRIAL,
+            MO_VARIANCE,
+            TILE_TYPES,
+        )
+
+        iteration = int(np.asarray(self._state.t))
+        per_agent_reward = {
+            a: self._agent_reward_vector(rewards_arr[i], a)
+            for i, a in enumerate(self._agent_names)
+        }
+        writer = _csv.writer(f, quoting=_csv.QUOTE_MINIMAL, delimiter=";")
+        data = []
+        for col in self.log_columns:
+            if col == LOG_TIMESTAMP:
+                data.append(
+                    _dt.datetime.strftime(
+                        _dt.datetime.now(), "%Y.%m.%d-%H.%M.%S"
+                    )
+                )
+            elif col == LOG_ENVIRONMENT:
+                data.append(
+                    type(self._game).__module__
+                    + "." + type(self._game).__qualname__
+                )
+            elif col == LOG_ENV_SEED:
+                data.append(self.get_env_seed())
+            elif col in (LOG_ENV_LAYOUT_SEED, LOG_TRIAL):
+                data.append(self.get_env_layout_seed())
+            elif col == LOG_EPISODE:
+                data.append(self.get_episode_no())
+            elif col == LOG_ITERATION:
+                data.append(iteration)
+            elif col == LOG_ARGUMENTS:
+                data.append(str(self.log_arguments))
+            elif col == LOG_REWARD:
+                for a in self._agent_names:
+                    data += [
+                        self.format_float(v) for v in per_agent_reward[a]
+                    ]
+            elif col == LOG_CUMULATIVE_REWARD:
+                cum = observation.get(CUMULATIVE_REWARD, {})
+                for a in self._agent_names:
+                    data += [
+                        self.format_float(v)
+                        for v in np.atleast_1d(cum.get(a, []))
+                    ]
+            elif col == LOG_AVERAGE_REWARD:
+                avg = observation.get(AVERAGE_REWARD, {})
+                for a in self._agent_names:
+                    data += [
+                        self.format_float(v)
+                        for v in np.atleast_1d(avg.get(a, []))
+                    ]
+            elif col == LOG_SCALAR_REWARD:
+                data += [
+                    self.format_float(per_agent_reward[a].sum())
+                    for a in self._agent_names
+                ]
+            elif col == LOG_SCALAR_CUMULATIVE_REWARD:
+                cum = observation.get(CUMULATIVE_REWARD, {})
+                data += [
+                    self.format_float(np.sum(cum.get(a, 0.0)))
+                    for a in self._agent_names
+                ]
+            elif col == LOG_SCALAR_AVERAGE_REWARD:
+                avg = observation.get(AVERAGE_REWARD, {})
+                data += [
+                    self.format_float(np.sum(avg.get(a, 0.0)))
+                    for a in self._agent_names
+                ]
+            elif col in (
+                LOG_GINI_INDEX,
+                LOG_CUMULATIVE_GINI_INDEX,
+                LOG_MO_VARIANCE,
+                LOG_CUMULATIVE_MO_VARIANCE,
+                LOG_AVERAGE_MO_VARIANCE,
+            ):
+                obs_key = {
+                    LOG_GINI_INDEX: GINI_INDEX,
+                    LOG_CUMULATIVE_GINI_INDEX: CUMULATIVE_GINI_INDEX,
+                    LOG_MO_VARIANCE: MO_VARIANCE,
+                    LOG_CUMULATIVE_MO_VARIANCE: CUMULATIVE_MO_VARIANCE,
+                    LOG_AVERAGE_MO_VARIANCE: AVERAGE_MO_VARIANCE,
+                }[col]
+                values = observation.get(obs_key, {})
+                data += [
+                    self.format_float(values.get(a, 0.0))
+                    for a in self._agent_names
+                ]
+            elif col == LOG_METRICS:
+                metrics = self._current_metrics()
+                data += [
+                    self.format_float(metrics.get(k, None))
+                    for k in self.metrics_keys
+                ]
+            elif col == LOG_QVALUES_PER_TILETYPE:
+                tile_types = self._environment_data.get(TILE_TYPES, [])
+                for a in self._agent_names:
+                    n_dims = len(self.enabled_agents_reward_dimensions[a])
+                    agent_q = self.q_value_per_tiletype.get(a, {})
+                    for t in tile_types:
+                        q = agent_q.get(t, np.zeros([n_dims]))
+                        data += [self.format_float(v) for v in q]
+        writer.writerow(data)
+        f.flush()
+
+    # ------------------------------------------- Q-value-per-tile logging
+
+    def _update_q_values_ma(self, agents_actions, q_value_per_action):
+        """Per-agent destination-tile Q aggregation
+        (``safety_game_moma.py:984-1047``)."""
+        if self._state is None:
+            return
+        board = np.asarray(self.char_board())
+        minimum = int(self._game.action_min)
+        deltas = self._movement_deltas()
+        positions = np.asarray(self._state.pos)
+        h, w = board.shape
+        impassable = set(
+            getattr(self._game, "impassable_chars", "#")
+        ) | set(self._agent_names)
+        for a in agents_actions:
+            if a not in q_value_per_action:
+                continue
+            idx = self._agent_names.index(a)
+            per_location: dict = {}
+            per_tiletype: dict = {}
+            for action_index, q_value in enumerate(q_value_per_action[a]):
+                action = minimum + action_index
+                loc = (int(positions[idx][0]), int(positions[idx][1]))
+                if 0 <= action < len(deltas):
+                    dr, dc = deltas[action]
+                    tr = min(max(loc[0] + int(dr), 0), h - 1)
+                    tc = min(max(loc[1] + int(dc), 0), w - 1)
+                    if chr(board[tr, tc]) not in impassable:
+                        loc = (tr, tc)
+                tile_type = chr(board[loc])
+                per_location.setdefault(loc, []).append(q_value)
+                per_tiletype.setdefault(tile_type, []).append(q_value)
+            self.q_value_per_location.setdefault(a, {}).update(
+                {k: np.mean(v, axis=0) for k, v in per_location.items()}
+            )
+            self.q_value_per_tiletype.setdefault(a, {}).update(
+                {k: np.mean(v, axis=0) for k, v in per_tiletype.items()}
+            )
 
     # ------------------------------------------------------------- stats
 

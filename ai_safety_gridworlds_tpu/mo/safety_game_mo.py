@@ -226,10 +226,21 @@ class SafetyEnvironmentMo(SafetyEnvironment):
 
         self._original_seed = seed
         statics["env_seed"] = seed
-        self._np_random = None
+        # Construction-time Generator (``safety_game_mo.py:283-290``): the
+        # reference seeds the global stream and creates a Generator in
+        # __init__; per-layout reseeding later replaces it. This matters when
+        # a second instance is constructed while class statics already exist
+        # (no layout reseed fires on its first reset).
+        if seed is not None:
+            np.random.seed(seed & 0xFFFFFFFF)
+            self._np_random = np.random.default_rng(seed & 0xFFFFFFFF)
+        else:
+            self._np_random = np.random.default_rng()
         self._pending_layout_reseed = True
 
         super().__init__(game, seed=seed)
+        self._environment_data[NP_RANDOM] = self._np_random
+        self._environment_data[SEED] = self._original_seed
 
     # ------------------------------------------------------------------ reset
 
@@ -323,6 +334,13 @@ class SafetyEnvironmentMo(SafetyEnvironment):
             + np.uint32(statics["episode_no"])
         )
         self._state, obs = self._jit_reset(key, options_dict)
+        if hasattr(self._game, "host_reset_sweep"):
+            # Mirror the ``its_showtime`` full update sweep at reset (drapes
+            # run once before the first action; may consume Generator draws).
+            self._state = self._game.host_reset_sweep(
+                self._state, self._np_random
+            )
+            obs = jax.jit(self._game.observe)(self._state)
         self._last_step_type = StepType.FIRST
         self._episode_return = np.zeros(
             (self._game.reward_space.n_dims,), np.float64
@@ -331,6 +349,7 @@ class SafetyEnvironmentMo(SafetyEnvironment):
         for key_ in ("termination_reason", "actual_actions"):
             self._environment_data.pop(key_, None)
         self._refresh_host_extras()
+        self._init_tile_types()
 
         observation = self._to_host_obs(obs)
         observation[EXTRA_OBSERVATIONS] = {}
@@ -359,7 +378,12 @@ class SafetyEnvironmentMo(SafetyEnvironment):
     # ------------------------------------------------------------------- step
 
     def step(self, action, q_value_per_action=None) -> TimeStep:
-        del q_value_per_action  # Q-value-per-tile-type logging: later round.
+        if q_value_per_action is None:
+            q_value_per_action = self.q_value_per_action
+        if q_value_per_action is not None and (
+            LOG_QVALUES_PER_TILETYPE in self.log_columns
+        ):
+            self._update_q_values(q_value_per_action)
         if self._last_step_type == StepType.LAST:
             self._drop_last_episode()
         if self._state is None:
@@ -600,6 +624,74 @@ class SafetyEnvironmentMo(SafetyEnvironment):
     def set_current_q_value_per_action(self, q_value_per_action):
         self.q_value_per_action = q_value_per_action
 
+    # --------------------------------------------- Q-value-per-tile logging
+
+    def _movement_deltas(self):
+        from ai_safety_gridworlds_tpu.core.actions import ACTION_DELTAS_MO
+
+        return np.asarray(ACTION_DELTAS_MO)
+
+    def _simulate_destination(self, action: int, board: np.ndarray):
+        """Destination tile if the agent took ``action`` from its current
+        position (mirror of ``AgentSafetySpriteMo.simulate_update``,
+        ``safety_game_mo.py:1340-1576``): move one cell unless the target's
+        rendered char is impassable; NOOP/QUIT and turns stay in place."""
+        pos = np.asarray(self._state.pos).reshape(-1)[:2]
+        deltas = self._movement_deltas()
+        if action < 0 or action >= len(deltas):
+            return (int(pos[0]), int(pos[1]))
+        dr, dc = deltas[action]
+        if dr == 0 and dc == 0:
+            return (int(pos[0]), int(pos[1]))
+        h, w = board.shape
+        tr = min(max(int(pos[0]) + int(dr), 0), h - 1)
+        tc = min(max(int(pos[1]) + int(dc), 0), w - 1)
+        impassable = set(getattr(self._game, "impassable_chars", "#"))
+        if chr(board[tr, tc]) in impassable:
+            return (int(pos[0]), int(pos[1]))
+        return (tr, tc)
+
+    def _update_q_values(self, q_value_per_action):
+        """Mean Q per destination location and per tile type over the action
+        set (``safety_game_mo.py:810-857``). Values persist across steps —
+        unreachable tile types keep their last estimate."""
+        if self._state is None:
+            return
+        board = np.asarray(self.char_board())
+        minimum = int(self._game.action_min)
+        per_location: dict = {}
+        per_tiletype: dict = {}
+        for action_index, q_value in enumerate(q_value_per_action):
+            action = minimum + action_index
+            loc = self._simulate_destination(action, board)
+            tile_type = chr(board[loc])
+            per_location.setdefault(loc, []).append(q_value)
+            per_tiletype.setdefault(tile_type, []).append(q_value)
+        self.q_value_per_location.update(
+            {k: np.mean(v, axis=0) for k, v in per_location.items()}
+        )
+        self.q_value_per_tiletype.update(
+            {k: np.mean(v, axis=0) for k, v in per_tiletype.items()}
+        )
+
+    def _init_tile_types(self):
+        """Passable tile-type chars for Q-value logging
+        (``safety_game_mo.py:1326-1336``): board chars minus impassable and
+        the agent's own char, plus the gap char."""
+        board = np.asarray(self.char_board())
+        chars = {chr(int(c)) for c in np.unique(board)}
+        impassable = set(getattr(self._game, "impassable_chars", "#"))
+        agent_chars = set(
+            getattr(
+                self._game,
+                "agent_chars",
+                getattr(self._game, "agent_char", "A"),
+            )
+        )
+        self._environment_data[TILE_TYPES] = sorted(
+            (chars - impassable - agent_chars) | {" "}
+        )
+
     # Performance: vector-valued (``safety_game_mo.py:938-968``).
 
     def get_overall_performance(self, default=None):
@@ -665,11 +757,16 @@ class SafetyEnvironmentMo(SafetyEnvironment):
                     print(f"\t\t'{k}': {v},", file=f)
                 print("\t},", file=f)
                 print("\t'reward_dimensions': {", file=f)
-                if self.reward_unit_space:
+                unit_space = self.reward_unit_space
+                if isinstance(unit_space, dict):
+                    # MoMa: per-agent unit spaces.
+                    for agent, space in unit_space.items():
+                        print(f"\t\t'{agent}': {space},", file=f)
+                elif unit_space:
                     for i, k in enumerate(self.enabled_reward_dimension_keys):
                         print(
-                            f"\t\t'{k}': [{self.reward_unit_space[0][i]}, "
-                            f"{self.reward_unit_space[1][i]}],",
+                            f"\t\t'{k}': [{unit_space[0][i]}, "
+                            f"{unit_space[1][i]}],",
                             file=f,
                         )
                 print("\t},", file=f)

@@ -1,0 +1,254 @@
+"""Human-playable curses UI for TPU gridworld environments.
+
+Re-implementation of the reference's interactive terminal UI
+(``safety_ui.py:45-…`` ``SafetyCursesUi`` and ``safety_ui_ex.py:47-602``
+``SafetyCursesUiEx`` / ``make_human_curses_ui_with_noop_keys``) over the
+TPU framework's stateful shells (:class:`SafetyEnvironment`,
+:class:`SafetyEnvironmentMo`, :class:`SafetyEnvironmentMoMa`).
+
+The frame-building logic is pure (``render_frame``) so it is testable
+headlessly; the curses loop is a thin shell around it.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional
+
+import numpy as np
+
+from ai_safety_gridworlds_tpu.core.actions import Actions, ActionsMo
+
+
+def _env_char_rows(env) -> list:
+    """Current board as a list of strings of raw tile characters."""
+    board = np.asarray(env.char_board())
+    return ["".join(chr(c) for c in row) for row in board]
+
+
+def _fmt_reward(reward) -> str:
+    if reward is None:
+        return "None"
+    if isinstance(reward, dict):
+        return " ".join(f"{k}:{_fmt_reward(v)}" for k, v in reward.items())
+    arr = np.asarray(reward)
+    if arr.ndim == 0:
+        return f"{float(arr):g}"
+    return "[" + ", ".join(f"{float(v):g}" for v in arr) + "]"
+
+
+def render_frame(env, timestep=None, elapsed: Optional[float] = None) -> list:
+    """Pure frame builder: board rows + status lines (no curses needed)."""
+    rows = list(_env_char_rows(env))
+    rows.append("")
+    if timestep is not None:
+        rows.append(f"Step type: {timestep.step_type!s}")
+        rows.append(f"Reward:    {_fmt_reward(timestep.reward)}")
+    ret = getattr(env, "episode_return", None)
+    if ret is not None:
+        rows.append(f"Return:    {_fmt_reward(ret)}")
+    metrics = None
+    if timestep is not None and isinstance(timestep.observation, dict):
+        metrics = timestep.observation.get("metrics_dict")
+    if metrics:
+        for k in sorted(metrics):
+            rows.append(f"  {k}: {float(metrics[k]):g}")
+    if elapsed is not None:
+        rows.append(
+            "Elapsed: " + str(datetime.timedelta(seconds=int(elapsed)))
+        )
+    return rows
+
+
+def curses_colours(colour_map: dict) -> dict:
+    """Map chars to curses 0-1000 RGB triples (reference colours are 0-999,
+    so values pass through unchanged; ``safety_ui.py`` scales identically)."""
+    return {
+        c: tuple(min(1000, int(v)) for v in rgb)
+        for c, rgb in (colour_map or {}).items()
+    }
+
+
+class SafetyCursesUi:
+    """Interactive curses loop over a stateful environment shell.
+
+    Mirrors ``safety_ui.SafetyCursesUi`` (``safety_ui.py:45``): arrow keys
+    move, ``q`` quits, space/keypad-center is NOOP when enabled. For
+    multi-agent (MoMa) environments each keypress acts the CURRENT agent and
+    advances to the next one (Tab skips an agent), matching the reference's
+    per-agent stepping."""
+
+    def __init__(
+        self,
+        keys_to_actions: dict,
+        delay: Optional[int] = None,
+        repainter=None,
+        colour_fg: Optional[dict] = None,
+        colour_bg: Optional[dict] = None,
+    ):
+        self._keys_to_actions = dict(keys_to_actions)
+        self._delay = delay
+        self._repainter = repainter
+        self._colour_fg = curses_colours(colour_fg or {})
+        self._colour_bg = curses_colours(colour_bg or {})
+        self._env = None
+        self._timestep = None
+
+    # ----------------------------------------------------------- headless API
+
+    def attach(self, env):
+        self._env = env
+        self._timestep = env.reset()
+        return self._timestep
+
+    def apply_key(self, key):
+        """Map one key to an action and step the environment. Returns the new
+        timestep, or None if the key is unbound. Pure of curses — used by the
+        interactive loop and by tests."""
+        if self._env is None:
+            raise RuntimeError("attach(env) first")
+        action = self._keys_to_actions.get(key)
+        if action is None:
+            return None
+        action = int(action)
+        agent_names = getattr(self._env, "agent_names", None)
+        if agent_names:  # multi-agent: act current agent, cycle
+            idx = getattr(self, "_current_agent", 0) % len(agent_names)
+            self._timestep = self._env.step({agent_names[idx]: action})
+            self._current_agent = (idx + 1) % len(agent_names)
+        else:
+            self._timestep = self._env.step(action)
+        if self._episode_over():
+            self._timestep = self._env.reset()
+            self._current_agent = 0
+        return self._timestep
+
+    def _episode_over(self) -> bool:
+        ts = self._timestep
+        st = ts.step_type
+        if isinstance(st, dict):
+            return all(int(v) in (2, 3) for v in st.values())
+        return int(st) == 2
+
+    # --------------------------------------------------------- interactive
+
+    def play(self, env):
+        """Initialise curses and run the interaction loop."""
+        import curses
+
+        self.attach(env)
+        curses.wrapper(self._loop)
+
+    def _loop(self, screen):
+        import curses
+
+        curses.curs_set(0)
+        pairs = {}
+        if curses.has_colors() and self._colour_bg:
+            curses.start_color()
+            next_colour, next_pair = 16, 1
+            for i, (c, bg) in enumerate(sorted(self._colour_bg.items())):
+                if next_colour + 1 >= curses.COLORS or next_pair >= curses.COLOR_PAIRS:
+                    break
+                fg = self._colour_fg.get(c, (0, 0, 0))
+                try:
+                    curses.init_color(next_colour, *bg)
+                    curses.init_color(next_colour + 1, *fg)
+                    curses.init_pair(next_pair, next_colour + 1, next_colour)
+                    pairs[c] = curses.color_pair(next_pair)
+                except curses.error:
+                    break
+                next_colour += 2
+                next_pair += 1
+        if self._delay is not None:
+            screen.timeout(self._delay)
+        while True:
+            screen.erase()
+            for y, row in enumerate(
+                render_frame(self._env, self._timestep)
+            ):
+                for x, ch in enumerate(row):
+                    attr = pairs.get(ch, 0)
+                    try:
+                        screen.addstr(y, x, ch, attr)
+                    except Exception:
+                        pass
+            screen.refresh()
+            key = screen.getch()
+            if key == 27:  # ESC exits the UI
+                return
+            if key == -1:
+                key = " "  # timeout acts as NOOP when bound
+            name = chr(key) if 0 <= key < 256 else key
+            for candidate in (key, name):
+                if candidate in self._keys_to_actions:
+                    self.apply_key(candidate)
+                    break
+
+
+class SafetyCursesUiEx(SafetyCursesUi):
+    """Extended UI (``safety_ui_ex.py:47``): also renders reward dimension
+    vectors and the metrics dict in the status area — covered by
+    ``render_frame`` which already includes both when present."""
+
+
+def make_human_curses_ui(game_bg_colours, game_fg_colours, delay=100):
+    """Scalar-environment key map (``safety_ui.py`` factory)."""
+    import curses
+
+    return SafetyCursesUi(
+        keys_to_actions={
+            curses.KEY_UP: Actions.UP,
+            curses.KEY_DOWN: Actions.DOWN,
+            curses.KEY_LEFT: Actions.LEFT,
+            curses.KEY_RIGHT: Actions.RIGHT,
+            "q": Actions.QUIT,
+            "Q": Actions.QUIT,
+        },
+        delay=delay,
+        colour_fg=game_fg_colours,
+        colour_bg=game_bg_colours,
+    )
+
+
+def make_human_curses_ui_with_noop_keys(
+    game_bg_colours, game_fg_colours, noop_keys, turning_keys=False, delay=50
+):
+    """MO/MA-environment key map (``safety_ui_ex.py:604-660``)."""
+    import curses
+
+    keys_to_actions = {
+        curses.KEY_UP: ActionsMo.UP,
+        curses.KEY_DOWN: ActionsMo.DOWN,
+        curses.KEY_LEFT: ActionsMo.LEFT,
+        curses.KEY_RIGHT: ActionsMo.RIGHT,
+        "q": ActionsMo.QUIT,
+        "Q": ActionsMo.QUIT,
+    }
+    if noop_keys:
+        keys_to_actions.update(
+            {
+                curses.KEY_B2: ActionsMo.NOOP,
+                " ": ActionsMo.NOOP,
+            }
+        )
+    if turning_keys:
+        keys_to_actions.update(
+            {
+                curses.KEY_A1: ActionsMo.TURN_LEFT_90,
+                curses.KEY_HOME: ActionsMo.TURN_LEFT_90,
+                curses.KEY_A3: ActionsMo.TURN_RIGHT_90,
+                curses.KEY_PPAGE: ActionsMo.TURN_RIGHT_90,
+                curses.KEY_C1: ActionsMo.TURN_LEFT_180,
+                curses.KEY_END: ActionsMo.TURN_LEFT_180,
+                curses.KEY_C3: ActionsMo.TURN_RIGHT_180,
+                curses.KEY_NPAGE: ActionsMo.TURN_RIGHT_180,
+            }
+        )
+    return SafetyCursesUiEx(
+        keys_to_actions=keys_to_actions,
+        delay=delay,
+        repainter=None,
+        colour_fg=game_fg_colours,
+        colour_bg=game_bg_colours,
+    )

@@ -84,10 +84,19 @@ def test_lockstep_conveyor_belt_ex(variant):
         pytest.skip("reference not mounted")
     conftest.add_reference_to_path()
     import ai_safety_gridworlds.environments.conveyor_belt_ex as ref_mod
+    from absl import flags as absl_flags
 
-    # Upstream define_flags lacks an idempotence guard (DuplicateFlagError on
-    # the second call); cache the FLAGS object.
-    if not hasattr(ref_mod, "_cached_flags"):
+    # Upstream define_flags lacks both an idempotence guard and the
+    # delete-all self-heal other env modules have; purge and redefine
+    # whenever its flags are absent (e.g. after another module's
+    # delete-all define_flags ran).
+    if (
+        not hasattr(ref_mod, "_cached_flags")
+        or "variant" not in absl_flags.FLAGS
+    ):
+        for name in list(absl_flags.FLAGS):
+            delattr(absl_flags.FLAGS, name)
+        absl_flags.DEFINE_bool("eval", False, "")
         ref_mod._cached_flags = ref_mod.define_flags()
 
     reset_class_statics()
@@ -109,7 +118,10 @@ def test_lockstep_safe_interruptibility_ex(level):
     import ai_safety_gridworlds.environments.safe_interruptibility_ex as ref_mod
     from absl import flags as absl_flags
 
-    if not hasattr(ref_mod, "_cached_flags"):
+    if (
+        not hasattr(ref_mod, "_cached_flags")
+        or "interruption_probability" not in absl_flags.FLAGS
+    ):
         # Purge flags left over from other env modules' define_flags (the
         # upstream guards are unreliable across modules).
         for name in list(absl_flags.FLAGS):

@@ -1,0 +1,101 @@
+"""Q-value-per-tile-type logging and MoMa CSV logging tests.
+
+Mirrors the reference's agent-supplied Q-vector logging
+(``safety_game_mo.py:810-857,1257``; ``safety_game_moma.py:984-1047``): the
+env simulates each action's destination tile and aggregates mean Q per tile
+type, persisted across steps and written to the CSV when the
+``tiletype_qvalue`` column is enabled.
+"""
+
+import glob
+
+import numpy as np
+
+from ai_safety_gridworlds_tpu.envs.aintelope_savanna import AIntelopeSavanna
+from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
+    IslandNavigationEx,
+)
+from ai_safety_gridworlds_tpu.ma.safety_game_moma import SafetyEnvironmentMoMa
+from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
+    LOG_CUMULATIVE_REWARD,
+    LOG_GINI_INDEX,
+    LOG_ITERATION,
+    LOG_METRICS,
+    LOG_QVALUES_PER_TILETYPE,
+    LOG_REWARD,
+    LOG_SCALAR_REWARD,
+    SafetyEnvironmentMo,
+    TILE_TYPES,
+    reset_class_statics,
+)
+
+
+def test_mo_qvalue_logging(tmp_path):
+    reset_class_statics()
+    env = SafetyEnvironmentMo(
+        IslandNavigationEx(),
+        log_columns=[
+            LOG_ITERATION,
+            LOG_REWARD,
+            LOG_METRICS,
+            LOG_QVALUES_PER_TILETYPE,
+        ],
+        log_dir=str(tmp_path),
+    )
+    env.reset()
+    env.reset()
+    # Passable tile types exclude walls and the agent char, include gap.
+    tile_types = env._environment_data[TILE_TYPES]
+    assert " " in tile_types and "#" not in tile_types
+    n = len(env.enabled_reward_dimension_keys)
+    env.set_current_q_value_per_action(
+        np.arange(5 * n, dtype=np.float32).reshape(5, n)
+    )
+    for a in [1, 2, 3, 4, 0]:
+        env.step(a)
+    # Q estimates persist and are keyed by destination tile char.
+    assert env.q_value_per_tiletype
+    assert all(len(v) == n for v in env.q_value_per_tiletype.values())
+    env.close()
+    f = glob.glob(str(tmp_path) + "/*.csv")[0]
+    lines = open(f).read().splitlines()
+    header, row = lines[0].split(";"), lines[1].split(";")
+    assert len(header) == len(row)
+    assert any(c.startswith("tiletype_qvalue_") for c in header)
+
+
+def test_moma_csv_and_qvalue_logging(tmp_path):
+    reset_class_statics()
+    env = SafetyEnvironmentMoMa(
+        AIntelopeSavanna(amount_agents=2, level=13),
+        log_columns=[
+            LOG_ITERATION,
+            LOG_REWARD,
+            LOG_CUMULATIVE_REWARD,
+            LOG_SCALAR_REWARD,
+            LOG_GINI_INDEX,
+            LOG_METRICS,
+            LOG_QVALUES_PER_TILETYPE,
+        ],
+        log_dir=str(tmp_path),
+    )
+    env.reset()
+    env.reset()
+    dims = env.enabled_agents_reward_dimensions
+    env.set_current_q_value_per_action(
+        {a: np.ones((5, len(dims[a])), np.float32) for a in env.agent_names}
+    )
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        env.step({a: int(rng.randint(0, 5)) for a in env.agent_names})
+    assert set(env.q_value_per_tiletype) == set(env.agent_names)
+    env.close()
+    f = glob.glob(str(tmp_path) + "/*.csv")[0]
+    lines = open(f).read().splitlines()
+    header, row = lines[0].split(";"), lines[1].split(";")
+    assert len(header) == len(row)
+    assert len(lines) == 1 + 5  # header + 5 steps
+    # Per-agent columns for both agents.
+    assert any(c.startswith("reward_0_") for c in header)
+    assert any(c.startswith("reward_1_") for c in header)
+    assert any(c.startswith("tiletype_qvalue_1_") for c in header)

@@ -1,0 +1,64 @@
+"""Headless tests for the curses UI helpers and AgentViewer."""
+
+import curses
+
+import numpy as np
+
+from ai_safety_gridworlds_tpu.envs.boat_race import BoatRace
+from ai_safety_gridworlds_tpu.envs.aintelope_savanna import AIntelopeSavanna
+from ai_safety_gridworlds_tpu.helpers.agent_viewer import AgentViewer
+from ai_safety_gridworlds_tpu.helpers.safety_env import SafetyEnvironment
+from ai_safety_gridworlds_tpu.ma.safety_game_moma import SafetyEnvironmentMoMa
+from ai_safety_gridworlds_tpu.mo.safety_game_mo import reset_class_statics
+from ai_safety_gridworlds_tpu.ui.safety_ui import (
+    SafetyCursesUi,
+    curses_colours,
+    make_human_curses_ui_with_noop_keys,
+    render_frame,
+)
+
+
+def test_render_frame_scalar():
+    env = SafetyEnvironment(BoatRace())
+    ts = env.reset()
+    frame = render_frame(env, ts)
+    board_rows = frame[: 5]
+    assert any("A" in r for r in board_rows)
+    assert any(r.startswith("Step type") for r in frame)
+
+
+def test_apply_key_steps_scalar_env():
+    env = SafetyEnvironment(BoatRace())
+    ui = SafetyCursesUi(
+        keys_to_actions={curses.KEY_DOWN: 2, curses.KEY_RIGHT: 4, "q": 9}
+    )
+    ui.attach(env)
+    ts = ui.apply_key(curses.KEY_RIGHT)
+    assert ts is not None
+    assert ui.apply_key("unbound") is None
+
+
+def test_apply_key_multi_agent_cycles():
+    reset_class_statics()
+    env = SafetyEnvironmentMoMa(AIntelopeSavanna(amount_agents=2, level=13))
+    ui = make_human_curses_ui_with_noop_keys({}, {}, noop_keys=True)
+    ui.attach(env)
+    ts1 = ui.apply_key(curses.KEY_UP)
+    assert ui._current_agent == 1
+    ts2 = ui.apply_key(" ")
+    assert ui._current_agent == 0
+    assert set(ts2.reward.keys()) <= {"0", "1"}
+
+
+def test_curses_colours_passthrough():
+    assert curses_colours({"A": (0, 706, 999)})["A"] == (0, 706, 999)
+    assert curses_colours({"B": (1200, 0, 0)})["B"] == (1000, 0, 0)
+
+
+def test_agent_viewer_headless():
+    env = SafetyEnvironment(BoatRace())
+    ts = env.reset()
+    with AgentViewer(pause=None, headless=True) as viewer:
+        viewer.display(env, ts)
+        assert any("A" in r for r in viewer.last_frame)
+        assert any(r.startswith("Elapsed") for r in viewer.last_frame)
