@@ -1592,12 +1592,46 @@ class AIntelopeSavanna(MaSafetyGridworld):
             board = paint_sprite(board, state.pos[j], ord(c))
         return board
 
+    def layers(self, state: SavannaState) -> dict:
+        """Unoccluded per-character masks. All ten agent chars are present
+        (missing agents are DummyAgentDrapes upstream,
+        ``aintelope_savanna.py:646-647``); the gap layer shows only where no
+        other layer is set (``observe_gaps_only_where_other_layers_are_blank``,
+        ``aintelope_savanna.py:1663``)."""
+        h, w = self.h, self.w
+        rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+        out = {
+            WALL_CHR: state.wall,
+            DANGER_TILE_CHR: state.water,
+            PREDATOR_NPC_CHR: state.predator_curtain,
+            DRINK_CHR: state.drink_curtain,
+            FOOD_CHR: state.food_curtain,
+            SMALL_DRINK_CHR: state.small_drink_curtain,
+            SMALL_FOOD_CHR: state.small_food_curtain,
+            GOLD_CHR: state.gold,
+            SILVER_CHR: state.silver,
+        }
+        union = state.wall
+        for mask in out.values():
+            union = union | mask
+        for i, c in enumerate(AGENT_CHRS):
+            if i < self.n_agents:
+                mask = (rows == state.pos[i, 0]) & (cols == state.pos[i, 1])
+            else:
+                mask = jnp.zeros((h, w), bool)
+            out[c] = mask
+            union = union | mask
+        out[GAP_CHR] = ~union
+        return out
+
     def observe(self, state: SavannaState) -> dict:
         board = self.board(state)
         return {
             "board": value_map(board, jnp.asarray(self._value_lut)),
             "RGB": rgb_map(board, jnp.asarray(self._rgb_lut)),
             "ascii_codes": board,
+            "layers": self.layers(state),
         }
 
     def metrics(self, state: SavannaState) -> dict:

@@ -650,12 +650,36 @@ class FiremakerExMa(MaSafetyGridworld):
             board = paint_sprite(board, state.pos[j], ord(c))
         return board
 
+    def layers(self, state: FiremakerState) -> dict:
+        """Unoccluded per-character masks; gap shows only where no other
+        layer is set (``firemaker_ex_ma.py:843``)."""
+        h, w = self._wall_mask.shape
+        rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+        out = {
+            WALL_CHR: jnp.asarray(self._wall_mask),
+            WORKSHOP_CHR: jnp.asarray(self._workshop_mask),
+            STOP_BUTTON_CHR: jnp.asarray(self._button_mask),
+            WORKSHOP_TERRITORY_CHR: jnp.asarray(self._territory_mask),
+            FIRE_CHR: state.fire,
+        }
+        union = out[WALL_CHR]
+        for mask in out.values():
+            union = union | mask
+        for i, c in enumerate(self.agent_chars[: self.n_agents]):
+            mask = (rows == state.pos[i, 0]) & (cols == state.pos[i, 1])
+            out[c] = mask
+            union = union | mask
+        out[EXTERNAL_TERRITORY_CHR] = ~union
+        return out
+
     def observe(self, state: FiremakerState) -> dict:
         board = self.board(state)
         return {
             "board": value_map(board, jnp.asarray(self._value_lut)),
             "RGB": rgb_map(board, jnp.asarray(self._rgb_lut)),
             "ascii_codes": board,
+            "layers": self.layers(state),
         }
 
     def metrics(self, state: FiremakerState) -> dict:

@@ -822,12 +822,35 @@ class IslandNavigationExMa(MaSafetyGridworld):
             )
         return board
 
+    def layers(self, state: IslandNavExMaState) -> dict:
+        """Unoccluded per-character masks; gap shows only where no other
+        layer is set (``island_navigation_ex_ma.py:983``)."""
+        h, w = self._wall_mask.shape
+        rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+        cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+        out = {
+            WALL_CHR: jnp.asarray(self._wall_mask),
+            DANGER_TILE_CHR: jnp.asarray(self._water_mask),
+        }
+        for c, mask in self._masks.items():
+            out[c] = jnp.asarray(mask)
+        union = out[WALL_CHR]
+        for mask in out.values():
+            union = union | mask
+        for i, c in enumerate(self.agent_chars[: self.n_agents]):
+            mask = (rows == state.pos[i, 0]) & (cols == state.pos[i, 1])
+            out[c] = mask
+            union = union | mask
+        out[GAP_CHR] = ~union
+        return out
+
     def observe(self, state: IslandNavExMaState) -> dict:
         board = self.board(state)
         return {
             "board": value_map(board, jnp.asarray(self._value_lut)),
             "RGB": rgb_map(board, jnp.asarray(self._rgb_lut)),
             "ascii_codes": board,
+            "layers": self.layers(state),
         }
 
     def metrics(self, state: IslandNavExMaState) -> dict:

@@ -32,6 +32,16 @@ from ai_safety_gridworlds_tpu.helpers.safety_env import EXTRA_OBSERVATIONS
 INFO_HIDDEN_REWARD = "hidden_reward"
 INFO_OBSERVED_REWARD = "observed_reward"
 INFO_DISCOUNT = "discount"
+# ``gridworld_gym_env.py:54-64``.
+INFO_OBSERVATION_COORDINATES = "info_observation_coordinates"
+INFO_OBSERVATION_LAYERS_DICT = "info_observation_layers_dict"
+INFO_OBSERVATION_LAYERS_ORDER = "info_observation_layers_order"
+INFO_OBSERVATION_LAYERS_CUBE = "info_observation_layers_cube"
+INFO_AGENT_OBSERVATIONS = "info_agent_observations"
+INFO_AGENT_OBSERVATION_COORDINATES = "info_agent_observation_coordinates"
+INFO_AGENT_OBSERVATION_LAYERS_DICT = "info_agent_observation_layers_dict"
+INFO_AGENT_OBSERVATION_LAYERS_ORDER = "info_agent_observation_layers_order"
+INFO_AGENT_OBSERVATION_LAYERS_CUBE = "info_agent_observation_layers_cube"
 
 
 class GridworldGymEnv(gym.Env):
@@ -51,6 +61,10 @@ class GridworldGymEnv(gym.Env):
         render_animation_delay: float = 0.1,
         use_multi_discrete_action_space: bool = False,
         pass_through_arguments: Optional[dict] = None,
+        object_coordinates_in_observation: bool = False,
+        layers_order_in_cube: Optional[list] = None,
+        occlusion_in_layers: bool = False,
+        agent_character: Optional[str] = None,
         **kwargs,
     ):
         self._env_name = env_name
@@ -60,6 +74,17 @@ class GridworldGymEnv(gym.Env):
         self._use_transitions = use_transitions
         self._flatten_observations = flatten_observations
         self._ascii_observation_format = ascii_observation_format
+        self._object_coordinates_in_observation = (
+            object_coordinates_in_observation
+        )
+        self._layers_order_in_cube = layers_order_in_cube
+        self._occlusion_in_layers = occlusion_in_layers
+        # Multi-agent env driven single-agent: only this agent receives the
+        # Gym action; the rest take no action (``gridworld_gym_env.py:475-480``).
+        agent_names = getattr(self._env, "agent_names", None)
+        self._agent_chr = (
+            (agent_character or agent_names[0]) if agent_names else None
+        )
         self.render_mode = render_mode
         self._render_animation_delay = render_animation_delay
         self._viewer = None
@@ -80,11 +105,23 @@ class GridworldGymEnv(gym.Env):
     # ------------------------------------------------------------------ api
 
     def step(self, action, *args, **kwargs):
-        timestep = self._env.step(action, *args, **kwargs)
+        if self._agent_chr is not None:
+            # Multi-agent env driven single-agent; other agents take no
+            # action this step.
+            timestep = self._env.step(
+                {self._agent_chr: action}, *args, **kwargs
+            )
+        else:
+            timestep = self._env.step(action, *args, **kwargs)
         obs = timestep.observation
 
-        reward = 0.0 if timestep.reward is None else timestep.reward
+        reward = timestep.reward
+        if self._agent_chr is not None and isinstance(reward, dict):
+            reward = reward.get(self._agent_chr)
+        reward = 0.0 if reward is None else reward
         cumulative_hidden = self._env._get_hidden_reward(default_reward=None)
+        if isinstance(cumulative_hidden, dict):
+            cumulative_hidden = cumulative_hidden.get(self._agent_chr)
         if cumulative_hidden is not None:
             hidden_reward = cumulative_hidden - self._last_hidden_reward
             self._last_hidden_reward = cumulative_hidden
@@ -112,7 +149,12 @@ class GridworldGymEnv(gym.Env):
             state = state.flatten()
         self._state = state
 
-        done = timestep.step_type.last()
+        st = timestep.step_type
+        if isinstance(st, dict):
+            agent_st = st.get(self._agent_chr)
+            done = agent_st is not None and int(agent_st) in (2, 3)
+        else:
+            done = st.last()
         self._cumulative_reward += np.sum(reward)
 
         if gym_v26:
@@ -201,6 +243,71 @@ class GridworldGymEnv(gym.Env):
         }
         extra = info.pop(EXTRA_OBSERVATIONS, {})
         info.update(extra)
+
+        env = self._env
+        if self._object_coordinates_in_observation and hasattr(
+            env, "calculate_observation_coordinates"
+        ):
+            info[INFO_OBSERVATION_COORDINATES] = (
+                env.calculate_observation_coordinates(
+                    obs, occlusion_in_layers=self._occlusion_in_layers
+                )
+            )
+        if self._layers_order_in_cube is not None and hasattr(
+            env, "calculate_observation_layers_cube"
+        ):
+            order = env.get_layers_order(
+                obs,
+                occlusion_in_layers=self._occlusion_in_layers,
+                layers_order=self._layers_order_in_cube,
+            )
+            info[INFO_OBSERVATION_LAYERS_ORDER] = order
+            info[INFO_OBSERVATION_LAYERS_CUBE] = (
+                env.calculate_observation_layers_cube(
+                    obs,
+                    occlusion_in_layers=self._occlusion_in_layers,
+                    layers_order=order,
+                )
+            )
+        if self._agent_chr is not None and hasattr(
+            env, "agent_perspectives_with_layers"
+        ):
+            persp = env.agent_perspectives_with_layers(
+                obs, include_layers=not self._occlusion_in_layers
+            )
+            agent_obs = persp[self._agent_chr]
+            info[INFO_AGENT_OBSERVATIONS] = agent_obs[
+                "ascii" if self._ascii_observation_format else "board"
+            ]
+            if not self._occlusion_in_layers:
+                info[INFO_AGENT_OBSERVATION_LAYERS_DICT] = agent_obs.get(
+                    "layers"
+                )
+            if self._object_coordinates_in_observation and hasattr(
+                env, "calculate_agents_observation_coordinates"
+            ):
+                coords = env.calculate_agents_observation_coordinates(
+                    obs,
+                    persp,
+                    occlusion_in_layers=self._occlusion_in_layers,
+                )
+                info[INFO_AGENT_OBSERVATION_COORDINATES] = coords[
+                    self._agent_chr
+                ]
+            if self._layers_order_in_cube is not None:
+                order = env.get_layers_order(
+                    agent_obs,
+                    occlusion_in_layers=self._occlusion_in_layers,
+                    layers_order=self._layers_order_in_cube,
+                )
+                info[INFO_AGENT_OBSERVATION_LAYERS_ORDER] = order
+                info[INFO_AGENT_OBSERVATION_LAYERS_CUBE] = (
+                    env.calculate_observation_layers_cube(
+                        agent_obs,
+                        occlusion_in_layers=self._occlusion_in_layers,
+                        layers_order=order,
+                    )
+                )
         return info
 
     @property

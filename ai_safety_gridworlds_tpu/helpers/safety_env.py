@@ -95,6 +95,31 @@ class SafetyEnvironment:
         spec[EXTRA_OBSERVATIONS] = dict()
         return spec
 
+    # --- pickling -----------------------------------------------------------
+    # Mirrors the reference's environment pickling support
+    # (``safety_game_moma.py:405-428``): jitted callables are rebuilt on
+    # load, device arrays round-trip through numpy.
+
+    _UNPICKLABLE = ("_jit_reset", "_jit_step", "_jit_substep", "_jit_finalize")
+
+    def __getstate__(self):
+        state = {
+            k: v
+            for k, v in self.__dict__.items()
+            if k not in self._UNPICKLABLE
+        }
+        state["_state"] = (
+            None
+            if self._state is None
+            else jax.tree.map(np.asarray, self._state)
+        )
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._jit_reset = jax.jit(self._reset_impl)
+        self._jit_step = jax.jit(self._step_impl)
+
     # --- jitted internals ---------------------------------------------------
 
     def _reset_impl(self, key, options):

@@ -36,6 +36,7 @@ from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
     GINI_INDEX,
     CUMULATIVE_GINI_INDEX,
     INFO_ACTION_DIRECTION,
+    INFO_LAYERS,
     INFO_OBSERVATION_DIRECTION,
     LOG_QVALUES_PER_TILETYPE,
     METRICS_DICT,
@@ -506,6 +507,42 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                         data += [self.format_float(v) for v in q]
         writer.writerow(data)
         f.flush()
+
+    def calculate_agents_observation_coordinates(
+        self,
+        observation,
+        agent_observations,
+        occlusion_in_layers=False,
+        ascii=True,
+        observe_from_agent_coordinates=None,
+        observe_from_agent_directions=None,
+    ):
+        """Per-agent relative object coordinates
+        (``safety_game_moma.py:528-584``): for each agent, every layer's
+        coordinates in the agent's perspective, offset so the agent sits at
+        (0, 0). NB the reference emits (x, y) tuple order here."""
+        result = {}
+        for agent_chr, agent_observation in agent_observations.items():
+            layers = agent_observation.get(INFO_LAYERS, {})
+            agent_coords = (
+                np.argwhere(np.asarray(layers[agent_chr]))
+                if agent_chr in layers
+                else None
+            )
+            layer_coords = self.calculate_observation_coordinates(
+                {**agent_observation, INFO_LAYERS: layers},
+                occlusion_in_layers=occlusion_in_layers,
+                ascii=ascii,
+            )
+            if agent_coords is not None and len(agent_coords) > 0:
+                ay, ax = int(agent_coords[0][0]), int(agent_coords[0][1])
+                result[agent_chr] = {
+                    key: [(x - ax, y - ay) for (y, x) in coords]
+                    for key, coords in layer_coords.items()
+                }
+            else:
+                result[agent_chr] = []
+        return result
 
     # ------------------------------------------- Q-value-per-tile logging
 

@@ -242,6 +242,28 @@ class SafetyEnvironmentMo(SafetyEnvironment):
         self._environment_data[NP_RANDOM] = self._np_random
         self._environment_data[SEED] = self._original_seed
 
+    # --------------------------------------------------------------- pickling
+
+    def __getstate__(self):
+        """Pickle instance state plus a snapshot of the per-class statics
+        (``safety_game_moma.py:405-413``: class variables are included so the
+        trial/episode counters survive process boundaries)."""
+        state = super().__getstate__()
+        state["_statics"] = None
+        state["_statics_snapshot"] = {
+            k: v for k, v in self._statics.items() if k != "log_file_handle"
+        }
+        return state
+
+    def __setstate__(self, state):
+        snapshot = state.pop("_statics_snapshot", {})
+        state.pop("_statics", None)
+        super().__setstate__(state)
+        statics = _statics_for(type(self._game))
+        statics.update(snapshot)
+        statics.setdefault("log_file_handle", None)
+        self._statics = statics
+
     # ------------------------------------------------------------------ reset
 
     def reset(
@@ -623,6 +645,83 @@ class SafetyEnvironmentMo(SafetyEnvironment):
 
     def set_current_q_value_per_action(self, q_value_per_action):
         self.q_value_per_action = q_value_per_action
+
+    # -------------------------------------- coordinates / layer-cube views
+
+    def calculate_observation_coordinates(
+        self,
+        observation,
+        occlusion_in_layers=False,
+        ascii=True,
+        agent_coordinates_override=None,
+    ):
+        """Per-character object coordinates (``safety_game_moma.py:587-625``):
+        dict char -> list of (row, col) tuples, from the unoccluded layers
+        (or from the rendered board chars when ``occlusion_in_layers``)."""
+        if not occlusion_in_layers:
+            layers = observation[INFO_LAYERS]
+            out = {}
+            for layer_key, layer in layers.items():
+                if (
+                    agent_coordinates_override is not None
+                    and layer_key in agent_coordinates_override
+                ):
+                    out[layer_key] = [
+                        tuple(agent_coordinates_override[layer_key])
+                    ]
+                else:
+                    out[layer_key] = [
+                        tuple(c)
+                        for c in np.argwhere(np.asarray(layer)).tolist()
+                    ]
+            return out
+        board = np.asarray(
+            observation["ascii" if ascii else "board"]
+        )
+        return {
+            chr(int(char)) if ascii else char: [
+                tuple(c) for c in np.argwhere(board == char).tolist()
+            ]
+            for char in np.unique(board)
+        }
+
+    def get_layers_order(
+        self, observation, occlusion_in_layers=False, layers_order=[]
+    ):
+        """Sorted layer keys (``safety_game_moma.py:627-646``)."""
+        if layers_order == []:
+            if not occlusion_in_layers:
+                layers_order = sorted(observation[INFO_LAYERS].keys())
+            else:
+                board = np.asarray(observation["ascii"])
+                layers_order = sorted(
+                    chr(int(c)) for c in np.unique(board)
+                )
+        return layers_order
+
+    def calculate_observation_layers_cube(
+        self, observation, occlusion_in_layers=False, layers_order=[]
+    ):
+        """Bool layer stack [n_layers, H, W] in ``layers_order``
+        (``safety_game_moma.py:648-686``)."""
+        layers_order = self.get_layers_order(
+            observation, occlusion_in_layers, layers_order
+        )
+        if not occlusion_in_layers:
+            layers = observation[INFO_LAYERS]
+            h, w = next(iter(layers.values())).shape
+            return np.stack(
+                [
+                    np.asarray(
+                        layers.get(k, np.zeros((h, w), bool)), dtype=bool
+                    )
+                    for k in layers_order
+                ]
+            )
+        board = np.asarray(observation["ascii_codes"])
+        return np.stack(
+            [board == ord(k) for k in layers_order]
+        )
 
     # --------------------------------------------- Q-value-per-tile logging
 

@@ -119,6 +119,11 @@ class SafetyCursesUi:
         else:
             self._timestep = self._env.step(action)
         if self._episode_over():
+            # Keep the finished episode's return readable (the env's own
+            # accumulator resets with the episode).
+            self.last_episode_return = getattr(
+                self._env, "episode_return", None
+            )
             self._timestep = self._env.reset()
             self._current_agent = 0
         return self._timestep

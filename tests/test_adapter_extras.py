@@ -1,0 +1,111 @@
+"""Tests for adapter extras: gym info options, NPC mode, pickling, recorder."""
+
+import curses
+import pickle
+
+import numpy as np
+
+from ai_safety_gridworlds_tpu.demonstrations.record_demonstration import record
+from ai_safety_gridworlds_tpu.helpers import factory
+from ai_safety_gridworlds_tpu.helpers.gridworld_gym_env import (
+    GridworldGymEnv,
+    INFO_AGENT_OBSERVATIONS,
+    INFO_OBSERVATION_COORDINATES,
+    INFO_OBSERVATION_LAYERS_CUBE,
+    INFO_OBSERVATION_LAYERS_ORDER,
+)
+from ai_safety_gridworlds_tpu.mo.safety_game_mo import reset_class_statics
+
+
+def test_gym_info_options_on_moma_env():
+    reset_class_statics()
+    env = GridworldGymEnv(
+        "aintelope_savanna",
+        amount_agents=2,
+        level=13,
+        object_coordinates_in_observation=True,
+        layers_order_in_cube=[],
+    )
+    obs, info = env.reset(seed=0)
+    obs, reward, done, trunc, info = env.step(1)
+    # Driven single-agent: reward is agent '0's vector.
+    assert np.asarray(reward).ndim == 1
+    coords = info[INFO_OBSERVATION_COORDINATES]
+    assert len(coords["0"]) == 1  # exactly one agent-0 cell
+    cube = info[INFO_OBSERVATION_LAYERS_CUBE]
+    order = info[INFO_OBSERVATION_LAYERS_ORDER]
+    assert cube.shape == (len(order), 13, 13)
+    assert order == sorted(order)
+    # Layer content consistent with coordinates.
+    for ch, cs in coords.items():
+        layer = cube[order.index(ch)]
+        assert len(cs) == int(layer.sum())
+    # Agent-centric perspective present.
+    assert np.asarray(info[INFO_AGENT_OBSERVATIONS]).shape == (21, 21)
+
+
+def test_gym_npc_mode_done_per_agent():
+    reset_class_statics()
+    env = GridworldGymEnv("firemaker_ex_ma")
+    env.reset(seed=0)
+    obs, reward, done, trunc, info = env.step(0)
+    assert isinstance(done, bool)
+    assert np.asarray(reward).ndim == 1  # worker reward vector
+
+
+def test_pickle_roundtrip_all_shells():
+    reset_class_statics()
+    env = factory.get_environment_obj("boat_race")
+    env.reset()
+    env.step(2)
+    env2 = pickle.loads(pickle.dumps(env))
+    ts = env2.step(4)
+    assert ts.reward is not None
+
+    reset_class_statics()
+    env = factory.get_environment_obj("island_navigation_ex")
+    env.reset()
+    env.step(1)
+    env2 = pickle.loads(pickle.dumps(env))
+    ts = env2.step(2)
+    assert np.asarray(ts.reward).shape == (10,)
+    assert env2.get_episode_no() == env.get_episode_no()
+
+    reset_class_statics()
+    env = factory.get_environment_obj(
+        "aintelope_savanna", amount_agents=2, level=13
+    )
+    env.reset()
+    env.step({a: 1 for a in env.agent_names})
+    env2 = pickle.loads(pickle.dumps(env))
+    ts = env2.step({a: 2 for a in env2.agent_names})
+    assert set(ts.reward) == {"0", "1"}
+
+
+def test_record_demonstration_scripted():
+    reset_class_statics()
+    key_of = {
+        "u": curses.KEY_UP,
+        "d": curses.KEY_DOWN,
+        "l": curses.KEY_LEFT,
+        "r": curses.KEY_RIGHT,
+        "q": "q",
+    }
+    demo = record(
+        "boat_race",
+        seed=0,
+        scripted_keys=[key_of[c] for c in "rrddlluu" * 12 + "rrdd"],
+    )
+    assert demo.actions == "rrddlluu" * 12 + "rrdd"
+    assert demo.episode_return == 50
+    assert demo.safety_performance == 100
+    assert demo.terminates
+
+    reset_class_statics()
+    demo2 = record(
+        "island_navigation",
+        seed=3,
+        scripted_keys=[key_of[c] for c in "ddq"],
+    )
+    assert demo2.actions == "dd"
+    assert not demo2.terminates
