@@ -189,6 +189,20 @@ class FiremakerExMa(MaSafetyGridworld):
         self.action_direction_mode = cfg["action_direction_mode"]
         # Heterogeneous observation radii: per-agent list.
         self.observation_radius = cfg["agent_observation_radius"]
+        # Continuous "expression" action modalities
+        # (``firemaker_ex_ma.py:830-839``): extra per-agent action-dict
+        # entries with these ranges; observable to other agents when enabled
+        # via the wrapper's ``set_observable_attribute_categories``.
+        self.continuous_action_ranges = {
+            "expression_smile": (-1, 1),
+            "expression_mouth_open": (-1, 1),
+            "expression_mouth_extending": (0, 1),
+            "expression_nose_wrinkling": (0, 1),
+            "expression_eyebrow_average_height": (-1, 1),
+            "expression_eyebrow_height_difference": (0, 1),
+            "expression_chin_height": (-1, 1),
+            "expression_head_tilt": (-1, 1),
+        }
         self.agent_observation_radii = [
             cfg["agent_observation_radius"] for _ in self.worker_chars
         ] + ([cfg["supervisor_observation_radius"]] if self.has_supervisor else [])

@@ -27,6 +27,10 @@ from ai_safety_gridworlds_tpu.core.movement import attempt_move_masked
 from ai_safety_gridworlds_tpu.core.render import paint_sprite, rgb_map, value_map
 from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
 from ai_safety_gridworlds_tpu.ma.safety_game_ma import MaSafetyGridworld
+from ai_safety_gridworlds_tpu.mo.map_randomization import (
+    randomization_cache_key,
+    randomize_map,
+)
 from ai_safety_gridworlds_tpu.mo.mo_reward import MoRewardSpace, mo_reward
 
 AGENT_CHRS = "1234567890"
@@ -146,6 +150,9 @@ DEFAULTS = dict(
     max_iterations=100,
     noops=True,
     randomize_agent_actions_order=True,
+    map_randomization_frequency=0,
+    map_width=None,
+    map_height=None,
     sustainability_challenge=False,
     thirst_hunger_death=False,
     penalise_oversatiation=False,
@@ -358,6 +365,37 @@ class IslandNavigationExMa(MaSafetyGridworld):
 
         board0 = art.art_to_uint8(art_rows)
         self._orig_board = board0
+        self._apply_board(board0)
+        # ``island_navigation_ex_ma.py:887-898``.
+        value_mapping = {
+            WALL_CHR: 0.0,
+            GAP_CHR: 1.0,
+            DANGER_TILE_CHR: 2.0,
+            ULTIMATE_GOAL_CHR: 3.0,
+            DRINK_CHR: 4.0,
+            FOOD_CHR: 5.0,
+            GOLD_CHR: 6.0,
+            SILVER_CHR: 7.0,
+        }
+        base = len(value_mapping)
+        for i, c in enumerate(self.agent_chars):
+            value_mapping[c] = float(base + i)
+        self._value_lut = art.char_lut(value_mapping)
+        colours = dict(GAME_BG_COLOURS)
+        for c in self.agent_chars:
+            colours.setdefault(c, (0, 706, 999))
+        self._rgb_lut = art.rgb_lut_from_colours(colours)
+        self._layer_chars = sorted(
+            {chr(c) for c in np.unique(board0)} | set(self.agent_chars) | {GAP_CHR}
+        )
+
+    def _apply_board(self, board0: np.ndarray):
+        """(Re)derive all board-dependent statics. Called at construction and
+        again per episode when ``map_randomization_frequency`` >= 1 (the
+        wrapper rebuilds its jit caches so the new masks are traced in)."""
+        # The per-episode board: what the reference calls ``original_board``
+        # is the POST-randomization board handed to every entity.
+        self._board_now = board0
         self._start_pos = np.stack(
             [art.position_of(board0, c) for c in self.agent_chars]
         )
@@ -406,28 +444,51 @@ class IslandNavigationExMa(MaSafetyGridworld):
             | self._masks[GOLD_CHR]
             | self._masks[SILVER_CHR]
         )
-        # ``island_navigation_ex_ma.py:887-898``.
-        value_mapping = {
-            WALL_CHR: 0.0,
-            GAP_CHR: 1.0,
-            DANGER_TILE_CHR: 2.0,
-            ULTIMATE_GOAL_CHR: 3.0,
-            DRINK_CHR: 4.0,
-            FOOD_CHR: 5.0,
-            GOLD_CHR: 6.0,
-            SILVER_CHR: 7.0,
-        }
-        base = len(value_mapping)
-        for i, c in enumerate(self.agent_chars):
-            value_mapping[c] = float(base + i)
-        self._value_lut = art.char_lut(value_mapping)
-        colours = dict(GAME_BG_COLOURS)
-        for c in self.agent_chars:
-            colours.setdefault(c, (0, 706, 999))
-        self._rgb_lut = art.rgb_lut_from_colours(colours)
-        self._layer_chars = sorted(
-            {chr(c) for c in np.unique(board0)} | set(self.agent_chars) | {GAP_CHR}
+
+    def host_reset_options_with_generator(self, np_random) -> dict:
+        """Per-episode map randomization (``island_navigation_ex_ma.py:485-510``
+        via ``safety_game_ma.make_safety_game``): tile_type_counts carries only
+        the agent characters (1 for active, 0 for extras); the interior is
+        shuffled by the env Generator. Board-derived statics are refreshed and
+        the wrapper retraces its jitted kernels."""
+        cfg = self.cfg
+        if cfg["map_randomization_frequency"] < 1:
+            return {}
+        counts = {c: 1 for c in self.agent_chars}
+        for c in AGENT_CHRS[self.n_agents :]:
+            if map_contains(c, GAME_ART[self.level]):
+                counts[c] = 0
+        cache_key = None
+        wrapper = getattr(self, "_wrapper", None)
+        if wrapper is not None:
+            env_class = type(self).__module__ + "." + type(self).__qualname__
+            cache_key = randomization_cache_key(
+                env_class,
+                wrapper.get_env_seed(),
+                wrapper.get_env_layout_seed(),
+                wrapper.get_episode_no(),
+                counts,
+                GAME_ART[self.level],
+                cfg["map_width"],
+                cfg["map_height"],
+                cfg["map_randomization_frequency"],
+            )
+        board = randomize_map(
+            self._orig_board,
+            np_random,
+            what_lies_beneath=GAP_CHR,
+            what_lies_outside=DANGER_TILE_CHR,
+            tile_type_counts=counts,
+            map_randomization_frequency=cfg["map_randomization_frequency"],
+            preserve_map_edges=True,
+            map_width=cfg["map_width"],
+            map_height=cfg["map_height"],
+            cache_key=cache_key,
         )
+        if not np.array_equal(board, self._board_now):
+            self._apply_board(board)
+            self._needs_retrace = True
+        return {}
 
     # ---------------------------------------------------------------- state
 
@@ -542,7 +603,7 @@ class IslandNavigationExMa(MaSafetyGridworld):
                 f = f * factor
             return rewards.at[i].add(vec * f)
 
-        orig = jnp.asarray(self._orig_board).astype(jnp.int32)
+        orig = jnp.asarray(self._board_now).astype(jnp.int32)
         pos_chr = orig[new_pos_i[0], new_pos_i[1]]
 
         rewards = addr(rewards, "MOVEMENT_REWARD", active & ~is_noop)

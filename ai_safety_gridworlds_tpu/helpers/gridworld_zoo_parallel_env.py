@@ -51,6 +51,8 @@ class GridworldZooParallelEnv(ParallelEnv):
         test_death_probability: float = 0.33,
         render_mode: Optional[str] = None,
         pass_through_arguments: Optional[dict] = None,
+        observable_attribute_categories: Optional[list] = None,
+        observable_attribute_value_mapping: Optional[dict] = None,
         **kwargs,
     ):
         self._env_name = env_name
@@ -61,6 +63,13 @@ class GridworldZooParallelEnv(ParallelEnv):
             **kwargs,
         )
         self._is_moma = isinstance(self._env, SafetyEnvironmentMoMa)
+        if observable_attribute_categories and hasattr(
+            self._env, "set_observable_attribute_categories"
+        ):
+            self._env.set_observable_attribute_categories(
+                observable_attribute_categories,
+                observable_attribute_value_mapping or {},
+            )
         self._use_transitions = use_transitions
         self._flatten_observations = flatten_observations
         self._scalarise = scalarise

@@ -117,8 +117,16 @@ class SafetyEnvironment:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self._rebuild_jit_caches()
+
+    def _rebuild_jit_caches(self):
+        """Drop and recreate jitted kernels. Needed when board-derived
+        closure constants change (per-episode map randomization)."""
         self._jit_reset = jax.jit(self._reset_impl)
         self._jit_step = jax.jit(self._step_impl)
+        for attr in ("_jit_substep", "_jit_finalize"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     # --- jitted internals ---------------------------------------------------
 

@@ -58,6 +58,13 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         self._episode_returns = np.zeros(
             (game.n_agents, game.reward_space.n_dims), np.float64
         )
+        # Observable agent attributes (continuous modalities like firemaker's
+        # expression dims); opt-in via set_observable_attribute_categories.
+        self._observable_attribute_categories: list = list(
+            getattr(game, "observable_attribute_categories", [])
+        )
+        self._observable_attribute_value_mapping: dict = {}
+        self._observable_attributes: dict = {}
         # Per-agent reward dimension keys + index maps into the kernel's
         # union reward space (``safety_game_moma.py:273-280``); needed before
         # the probe reset in super().__init__.
@@ -109,7 +116,10 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         return self._agent_names.index(agent)
 
     def _normalize_actions(self, agents_actions) -> dict:
-        """Numeric actions become {"step": a} (``safety_game_ma.py:412-422``)."""
+        """Numeric actions become {"step": a} (``safety_game_ma.py:412-422``).
+        Continuous attribute modalities (e.g. firemaker's ``expression_*``
+        dims, ``firemaker_ex_ma.py:830-839``) are captured into the agents'
+        observable attributes."""
         out = {}
         for agent, action in agents_actions.items():
             if isinstance(action, dict):
@@ -117,10 +127,61 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                     raise RuntimeError(
                         "Multi-modal actions must contain a 'step' entry"
                     )
+                for key, value in action.items():
+                    if key in self._observable_attribute_categories:
+                        self._observable_attributes.setdefault(key, {})[
+                            agent
+                        ] = float(value)
                 out[agent] = action
             else:
                 out[agent] = {"step": int(np.asarray(action).item())}
         return out
+
+    # ----------------------------------------- observable agent attributes
+
+    def set_observable_attribute_categories(
+        self,
+        observable_attribute_categories=[],
+        observable_attribute_value_mapping=None,
+    ):
+        """Enable observable agent-attribute channels
+        (``safety_game_ma.py:236-239`` / ``observation_distiller_ex.py:99-144``):
+        each category becomes a float board with every visible agent's
+        attribute value painted at its position, plus per-agent sparse
+        layers."""
+        self._observable_attribute_categories = list(
+            observable_attribute_categories
+        )
+        self._observable_attribute_value_mapping = dict(
+            observable_attribute_value_mapping or {}
+        )
+
+    def _attach_observable_attributes(self, obs):
+        if not self._observable_attribute_categories:
+            return
+        board_shape = np.asarray(obs["board"]).shape
+        positions = np.asarray(self._state.pos)
+        boards = {}
+        layers = {}
+        for attr in self._observable_attribute_categories:
+            board = np.zeros(board_shape, np.float32)
+            layers[attr] = {}
+            values = self._observable_attributes.get(attr, {})
+            for i, a in enumerate(self._agent_names):
+                if a not in values:
+                    continue
+                value = values[a]
+                mapping = self._observable_attribute_value_mapping.get(attr)
+                if mapping is not None:
+                    value = mapping.get(value, value)
+                pos = tuple(positions[i])
+                board[pos] = value
+                layer = np.zeros(board_shape, np.float32)
+                layer[pos] = value
+                layers[attr][a] = layer
+            boards[attr] = board
+        obs["agent_attribute_board"] = boards
+        obs["agent_attribute_layers"] = layers
 
     # ----------------------------------------------------------------- api
 
@@ -297,6 +358,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             "termination_reason": term_dict,
         }
         self._attach_ma_stats(observation)
+        self._attach_observable_attributes(observation)
         self._last_observation_dict = observation
         if self.log_columns and int(np.asarray(self._state.t)) > 0:
             f = self._statics.get("log_file_handle")

@@ -350,6 +350,11 @@ class SafetyEnvironmentMo(SafetyEnvironment):
             )
         else:
             raw_options = self._game.host_reset_options()
+        if getattr(self._game, "_needs_retrace", False):
+            # Board-derived closure constants changed (map randomization);
+            # rebuild the jitted kernels so the new masks are traced in.
+            self._game._needs_retrace = False
+            self._rebuild_jit_caches()
         options_dict = {k: jnp.asarray(v) for k, v in raw_options.items()}
         key = jax.random.PRNGKey(
             np.uint32(statics.get("jax_seed", 0))

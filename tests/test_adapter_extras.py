@@ -109,3 +109,43 @@ def test_record_demonstration_scripted():
     )
     assert demo2.actions == "dd"
     assert not demo2.terminates
+
+
+def test_observable_attributes_expression_dims():
+    reset_class_statics()
+    env = factory.get_environment_obj("firemaker_ex_ma")
+    env.set_observable_attribute_categories(
+        ["expression_smile", "expression_head_tilt"]
+    )
+    env.reset()
+    ts = env.step(
+        {
+            "1": {"step": 1, "expression_smile": 0.7},
+            "S": {"step": 0, "expression_head_tilt": -0.5},
+        }
+    )
+    boards = ts.observation["agent_attribute_board"]
+    assert float(boards["expression_smile"].sum()) == np.float32(0.7)
+    assert float(boards["expression_head_tilt"].sum()) == np.float32(-0.5)
+    layers = ts.observation["agent_attribute_layers"]
+    assert sorted(layers["expression_smile"]) == ["1"]
+    # Attribute persists across steps until changed.
+    ts = env.step({"1": 0, "S": 0})
+    assert float(
+        ts.observation["agent_attribute_board"]["expression_smile"].sum()
+    ) == np.float32(0.7)
+
+
+def test_ma_map_randomization_pickle_safe():
+    # Randomized island_ma envs still pickle (board-derived statics travel).
+    import pickle
+
+    reset_class_statics()
+    env = factory.get_environment_obj(
+        "island_navigation_ex_ma", map_randomization_frequency=3
+    )
+    env.reset()
+    env.step({a: 1 for a in env.agent_names})
+    env2 = pickle.loads(pickle.dumps(env))
+    ts = env2.step({a: 2 for a in env2.agent_names})
+    assert set(ts.reward) <= {"1", "2"}

@@ -39,7 +39,29 @@ def make_pair(**kwargs):
     if not hasattr(_ref_sgmoma, "safety_game_ma"):
         _ref_sgmoma.safety_game_ma = _ref_sgma
 
+    # Purge class-static counters + randomization caches on both sides so
+    # each test sees virgin seeding state (the reference keeps these as
+    # class attributes surviving reconstruction).
+    from ai_safety_gridworlds_tpu.mo.map_randomization import (
+        clear_randomization_cache,
+    )
+
+    for attr in (
+        "episode_no", "env_layout_seed", "env_seed", "next_experiment_no",
+        "prev_experiment_no", "create_new_log_file", "log_file_handle",
+        "log_filename", "flags", "log_arguments", "metrics_keys",
+        "enabled_reward_dimension_keys", "enabled_agents_reward_dimensions",
+        "log_filename_comment",
+    ):
+        if attr in IslandNavigationEnvironmentExMa.__dict__:
+            delattr(IslandNavigationEnvironmentExMa, attr)
+    try:
+        _ref_sgma.randomized_maps_per_environment.clear()
+    except AttributeError:
+        pass
+
     reset_class_statics()
+    clear_randomization_cache()
     flags_obj = define_flags()
     ref_kwargs = dict(kwargs)
     if "randomize_agent_actions_order" in ref_kwargs:
@@ -197,3 +219,11 @@ def test_agent_perspectives():
                 our_persp[a]["ascii"],
                 err_msg=f"step {i} agent {a} ascii",
             )
+
+
+def test_lockstep_map_randomization_per_episode():
+    # Per-episode interior shuffle driven by the env Generator
+    # (``island_navigation_ex_ma.py:485-510``): boards must match after
+    # every auto-reset across several randomized episodes.
+    ref, ours = make_pair(map_randomization_frequency=3, max_iterations=40)
+    run_lockstep(ref, ours, n_steps=150, seed=87)
