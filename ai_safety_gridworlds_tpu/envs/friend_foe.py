@@ -343,3 +343,82 @@ class FriendFoe(SafetyGridworld):
             "current_episode_bandit": int(state.bandit_type),
             "bandit_policies": np.asarray(state.policies),
         }
+
+
+# ---------------------------------------------------------------------------
+# Cross-run persistence of the bandit estimates (``friend_foe.py:39-45,
+# 140-142,371-398``): the reference's human-play mode pickles
+# ``environment_data`` to --environment_data_file so the bandit keeps
+# adapting across separate runs.
+
+
+def load_environment_data(environment_data_file):
+    """Load pickled cross-run environment data; {} if unavailable."""
+    import pickle
+
+    if environment_data_file is None:
+        print(
+            "Warning: No environment_data_file given, running "
+            "memoryless environment version."
+        )
+        return {}
+    try:
+        with open(environment_data_file, "rb", 1024 * 1024) as f:
+            return pickle.load(f)
+    except OSError:
+        print(
+            "Warning: Unable to open environment_data_file "
+            f"{environment_data_file!r}"
+        )
+        return {}
+
+
+def save_environment_data(environment_data, environment_data_file):
+    """Persist cross-run environment data (bandit policy estimates)."""
+    import pickle
+
+    if environment_data_file is None:
+        print(
+            "Warning: No environment_data_file given, environment won't "
+            "remember interactions."
+        )
+        return
+    try:
+        with open(environment_data_file, "wb", 1024 * 1024) as f:
+            pickle.dump(environment_data, f)
+    except OSError:
+        print(
+            "Warning: Unable to write to environment_data_file "
+            f"{environment_data_file!r}"
+        )
+
+
+def main(argv=None):
+    """Human-playable friend_foe with persistent bandit memory."""
+    import argparse
+
+    from ai_safety_gridworlds_tpu.helpers.safety_env import SafetyEnvironment
+    from ai_safety_gridworlds_tpu.ui.safety_ui import make_human_curses_ui
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bandit_type", default=None,
+                        choices=[None, "friend", "neutral", "adversary"])
+    parser.add_argument("--extra_step", action="store_true")
+    parser.add_argument("--environment_data_file", default=None)
+    args = parser.parse_args(argv)
+
+    environment_data = load_environment_data(args.environment_data_file)
+    game = FriendFoe(
+        environment_data=environment_data,
+        bandit_type=args.bandit_type,
+        extra_step=args.extra_step,
+    )
+    env = SafetyEnvironment(game)
+    ui = make_human_curses_ui(GAME_BG_COLOURS, {})
+    ui.play(env)
+    environment_data["bandit_policies"] = np.asarray(game._policies)
+    save_environment_data(environment_data, args.environment_data_file)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,9 @@ class SafetyEnvironment:
         self._state = None
         self._last_step_type: Optional[StepType] = None
         self._last_observation_dict: Optional[dict] = None
+        # Plot log protocol (``pycolab/protocols/logging.py:33,51``): games
+        # and users append messages; the UI console drains them.
+        self._log_messages: list = []
 
         # Probe episode to compute the observation spec, then drop it
         # (mirrors ``pycolab_interface.py:270-290`` / ``safety_game.py:179``).
@@ -94,6 +97,18 @@ class SafetyEnvironment:
         }
         spec[EXTRA_OBSERVATIONS] = dict()
         return spec
+
+    # --- log protocol -------------------------------------------------------
+
+    def log(self, message: str):
+        """Append a message for the game console
+        (``protocols/logging.py:33``)."""
+        self._log_messages.append(str(message))
+
+    def consume_log_messages(self) -> list:
+        """Drain pending messages (``protocols/logging.py:51``)."""
+        messages, self._log_messages = self._log_messages, []
+        return messages
 
     # --- pickling -----------------------------------------------------------
     # Mirrors the reference's environment pickling support

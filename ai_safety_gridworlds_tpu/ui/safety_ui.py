@@ -57,6 +57,11 @@ def render_frame(env, timestep=None, elapsed: Optional[float] = None) -> list:
         rows.append(
             "Elapsed: " + str(datetime.timedelta(seconds=int(elapsed)))
         )
+    # Game console: drain the env's Plot-log messages
+    # (``human_ui.py:347`` / ``protocols/logging.py:51``).
+    if hasattr(env, "consume_log_messages"):
+        for message in env.consume_log_messages():
+            rows.append("> " + message)
     return rows
 
 

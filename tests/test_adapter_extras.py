@@ -149,3 +149,31 @@ def test_ma_map_randomization_pickle_safe():
     env2 = pickle.loads(pickle.dumps(env))
     ts = env2.step({a: 2 for a in env2.agent_names})
     assert set(ts.reward) <= {"1", "2"}
+
+
+def test_friend_foe_environment_data_file(tmp_path):
+    # Cross-run bandit persistence (``friend_foe.py:39-45,371-398``).
+    from ai_safety_gridworlds_tpu.envs.friend_foe import (
+        FriendFoe,
+        load_environment_data,
+        save_environment_data,
+    )
+    from ai_safety_gridworlds_tpu.helpers.safety_env import SafetyEnvironment
+
+    path = str(tmp_path / "ff_data.pkl")
+    data = load_environment_data(path)  # missing file -> memoryless {}
+    assert data == {}
+    game = FriendFoe(environment_data=data)
+    env = SafetyEnvironment(game)
+    np.random.seed(0)
+    for _ in range(3):
+        ts = env.reset()
+        while not ts.step_type.last():
+            ts = env.step(int(np.random.randint(1, 5)))
+    data["bandit_policies"] = np.asarray(game._policies)
+    save_environment_data(data, path)
+
+    data2 = load_environment_data(path)
+    game2 = FriendFoe(environment_data=data2)
+    np.testing.assert_allclose(game2._policies, game._policies)
+    assert not np.allclose(game2._policies, 0.5)  # estimates actually moved

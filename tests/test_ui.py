@@ -62,3 +62,13 @@ def test_agent_viewer_headless():
         viewer.display(env, ts)
         assert any("A" in r for r in viewer.last_frame)
         assert any(r.startswith("Elapsed") for r in viewer.last_frame)
+
+
+def test_log_protocol_console():
+    env = SafetyEnvironment(BoatRace())
+    env.reset()
+    env.log("hello from the game")
+    frame = render_frame(env)
+    assert any(r == "> hello from the game" for r in frame)
+    # Messages drain once consumed.
+    assert not any(r.startswith(">") for r in render_frame(env))
