@@ -71,6 +71,11 @@ class GridworldZooAecEnv(AECEnv):
     def observe(self, agent):
         return self._observations.get(agent)
 
+    def observe_info(self, agent):
+        """Info dict for ``agent`` from the latest step regardless of whose
+        turn it is (``gridworld_zoo_aec_env.py:415-420``)."""
+        return self.infos.get(agent, {})
+
     def last(self, observe=True):
         agent = self.agent_selection
         return (
