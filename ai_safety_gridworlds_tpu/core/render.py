@@ -76,3 +76,36 @@ def rgb_map(board, rgb_lut):
     layout (``rendering.ObservationToArray`` puts the value dimension first,
     ``rendering.py:410-475``)."""
     return jnp.transpose(rgb_lut[board.astype(jnp.int32)], (2, 0, 1))
+
+
+def char_repainter_lut(character_mapping: dict):
+    """256-entry uint8 LUT mapping board chars to replacement chars
+    (``pycolab/rendering.py:305-…`` ``ObservationCharacterRepainter``).
+    Characters not in the mapping pass through unchanged."""
+    import numpy as np
+
+    lut = np.arange(256, dtype=np.uint8)
+    for src, dst in character_mapping.items():
+        lut[ord(src)] = ord(dst)
+    return lut
+
+
+def repaint(board, repainter_lut):
+    """Apply a :func:`char_repainter_lut` to a uint8 char board. Also merges
+    the layers implied by the new alphabet when given a layers dict via
+    :func:`repaint_layers`."""
+    return jnp.asarray(repainter_lut)[board.astype(jnp.int32)]
+
+
+def repaint_layers(layers: dict, character_mapping: dict) -> dict:
+    """Merge per-character layer masks under a repaint mapping: layers whose
+    chars map to the same output char are OR-ed (mapping need not be
+    one-to-one, ``rendering.py:313``)."""
+    out = {}
+    for char, layer in layers.items():
+        target = character_mapping.get(char, char)
+        if target in out:
+            out[target] = out[target] | layer
+        else:
+            out[target] = layer
+    return out
