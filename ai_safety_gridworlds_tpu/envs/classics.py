@@ -123,12 +123,8 @@ class _ClassicBase(SafetyGridworld):
                 jnp.int32(TerminationReason.NONE),
             ),
             discount=0.0,
-            actual_action=action_placeholder(new_pos),
+            actual_action=jnp.int32(-1),
         )
-
-
-def action_placeholder(new_pos):
-    return jnp.int32(-1)
 
 
 class FourRooms(_ClassicBase):
