@@ -1,0 +1,125 @@
+"""First-class step-rate measurement and profiler hooks.
+
+The reference exposes no performance tooling at all (SURVEY §5: the closest
+artifact is the curses UI's wall-clock episode timer, ``safety_ui.py:93-97``).
+For a batched TPU framework, steps/s is a first-class metric: this module
+provides a self-contained measurement harness (compile-excluded, device-
+synchronized timing) and an optional ``jax.profiler`` trace context for
+inspecting the compiled step in TensorBoard/XProf.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ai_safety_gridworlds_tpu.core import base as core_base
+
+
+def measure_steps_per_second(
+    env,
+    batch_size: int = 4096,
+    n_steps: int = 2048,
+    n_reps: int = 3,
+    include_observation: bool = True,
+    key=None,
+) -> dict:
+    """Measure aggregate env steps/s for a batched auto-resetting rollout.
+
+    Compiles once (excluded from timing), then times ``n_reps`` chained scan
+    chunks of ``n_steps`` with ``block_until_ready`` at the end. Long chunks
+    matter: short dispatches are dominated by per-call host->device latency.
+
+    Returns a dict with ``steps_per_sec``, ``wall_time_s``, ``total_steps``,
+    ``device`` and the measurement configuration.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    step_fn = jax.vmap(functools.partial(core_base.episode_step, env))
+    obs_fn = (
+        jax.vmap(lambda s: env.observe(s)["board"])
+        if include_observation
+        else None
+    )
+
+    def chunk(ep, chunk_key):
+        def body(carry, step_key):
+            eps, acc = carry
+            actions = jax.random.randint(
+                step_key,
+                (batch_size,),
+                env.action_min,
+                env.action_max + 1,
+                dtype=jnp.int32,
+            )
+            eps, outs = step_fn(eps, actions)
+            acc = acc + jnp.sum(outs.step.reward)
+            if obs_fn is not None:
+                # Full-board reduction keeps the render from being DCE'd.
+                acc = acc + jnp.sum(obs_fn(eps.env_state))
+            return (eps, acc), None
+
+        (ep, acc), _ = jax.lax.scan(
+            body, (ep, jnp.float32(0.0)), jax.random.split(chunk_key, n_steps)
+        )
+        return ep, acc
+
+    keys = jax.random.split(key, batch_size + 1)
+    ep = jax.jit(
+        jax.vmap(functools.partial(core_base.episode_reset, env))
+    )(keys[1:])
+    run = jax.jit(chunk)
+
+    ep, acc = run(ep, keys[0])  # compile + warm-up
+    jax.block_until_ready(acc)
+
+    t0 = time.perf_counter()
+    for i in range(n_reps):
+        ep, acc = run(ep, jax.random.fold_in(keys[0], i))
+    jax.block_until_ready(acc)
+    wall = time.perf_counter() - t0
+
+    total = n_reps * n_steps * batch_size
+    return {
+        "steps_per_sec": total / wall,
+        "wall_time_s": wall,
+        "total_steps": total,
+        "batch_size": batch_size,
+        "n_steps": n_steps,
+        "n_reps": n_reps,
+        "include_observation": include_observation,
+        "device": str(jax.devices()[0]),
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, host_tracer_level: int = 2):
+    """``jax.profiler`` trace context: wrap a measured region to capture an
+    XLA execution trace viewable in TensorBoard / XProf."""
+    jax.profiler.start_trace(log_dir, create_perfetto_link=False)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def per_step_latency(env, n_steps: int = 100, key=None) -> dict:
+    """Single-env dispatch-bound step latency (the interactive-shell cost a
+    human or single-stream agent sees), in seconds per step."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ep = core_base.episode_reset(env, key)
+    step = jax.jit(functools.partial(core_base.episode_step, env))
+    ep, out = step(ep, jnp.int32(env.action_min))  # compile
+    jax.block_until_ready(out.step.reward)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        ep, out = step(ep, jnp.int32(env.action_min))
+    jax.block_until_ready(out.step.reward)
+    wall = time.perf_counter() - t0
+    return {"seconds_per_step": wall / n_steps, "steps": n_steps}
