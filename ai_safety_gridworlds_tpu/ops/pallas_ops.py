@@ -1,0 +1,209 @@
+"""Pallas TPU kernels for the framework's hot per-step ops.
+
+Two ops dominate the batched step's non-trivial work:
+
+* **observation value-mapping** — every step renders the uint8 char board
+  and maps it through the env's value LUT (``observation_distiller.py:62-91``
+  upstream; ``core/render.py:value_map`` here). Boards use only a handful of
+  distinct characters, so the 256-entry gather is lowered to a short chain
+  of VPU compare-selects over a compacted (code, value) table
+  (:func:`value_map_batched`).
+* **firemaker's fire-spread union probability** — the 5x5
+  union-of-probabilities stencil ``1 - prod(1 - p)`` accumulated in log
+  space (``firemaker_ex_ma.py:561-615``; ``envs/firemaker_ex_ma.py``
+  device path). :func:`fire_union_probability` fuses the 25 shifted
+  multiply-adds and the final ``1 - exp`` in one VMEM pass per board.
+
+Both kernels carry jnp reference implementations (used for testing and as
+the non-TPU fallback) and run under ``interpret=True`` on CPU.
+
+Measured on a single TPU chip at batch 4096 (17x17 boards), both pallas
+kernels are bit-exact vs their references; XLA's own fusion of the reference
+formulation is at parity (value map) or faster (stencil: XLA ~0.4 ms vs
+pallas ~1.3 ms — misaligned halo slices dominate at this tiny board size).
+The default compute path therefore keeps the XLA formulation; these kernels
+are the scaffolding for board sizes / fused step pipelines where manual VMEM
+control pays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# ----------------------------------------------------------- value mapping
+
+
+def compact_lut(lut) -> tuple:
+    """Compress a 256-entry LUT to the (codes, values) actually used.
+
+    Board alphabets are tiny (a dozen chars), so the per-cell gather becomes
+    ``n_codes`` compare-selects. Codes with value 0 are dropped (the select
+    chain starts from zero).
+    """
+    lut = np.asarray(lut)
+    codes = np.nonzero(lut)[0].astype(np.int32)
+    return codes, lut[codes].astype(np.float32)
+
+
+def value_map_reference(boards, codes, values):
+    """jnp reference: out[cell] = values[j] where boards[cell] == codes[j]."""
+    boards = boards.astype(jnp.int32)
+    out = jnp.zeros(boards.shape, jnp.float32)
+    for j in range(codes.shape[0]):
+        out = jnp.where(boards == int(codes[j]), float(values[j]), out)
+    return out
+
+
+def _value_map_kernel(n_codes, codes_ref, values_ref, board_ref, out_ref):
+    board = board_ref[:].astype(jnp.int32)
+    acc = jnp.zeros(board.shape, jnp.float32)
+    for j in range(n_codes):  # static unroll: one VPU select per code
+        acc = jnp.where(board == codes_ref[j], values_ref[j], acc)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _value_map_call(boards_flat, codes, values, *, interpret):
+    b, l = boards_flat.shape
+    tb = min(256, b)
+    kernel = functools.partial(_value_map_kernel, int(codes.shape[0]))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l), jnp.float32),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tb, l), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, l), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(codes, values, boards_flat)
+
+
+def value_map_batched(boards, lut, interpret=None):
+    """Map a batch of uint8 char boards through a value LUT.
+
+    Args:
+      boards: uint8 [B, H, W] (or [B, L]) char boards.
+      lut: 256-entry value table (``core.art.char_lut``).
+      interpret: force pallas interpreter (defaults to True off-TPU).
+
+    Returns:
+      f32 array of the same shape.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    codes, values = compact_lut(lut)
+    shape = boards.shape
+    b = shape[0]
+    l = int(np.prod(shape[1:]))
+    lp = _round_up(max(l, 128), 128)
+    bp = _round_up(b, 8)
+    flat = jnp.zeros((bp, lp), jnp.uint8)
+    flat = flat.at[:b, :l].set(boards.reshape(b, l))
+    out = _value_map_call(
+        flat, jnp.asarray(codes), jnp.asarray(values), interpret=interpret
+    )
+    return out[:b, :l].reshape(shape)
+
+
+# ------------------------------------------------- fire spread stencil
+
+
+def fire_union_reference(fire, spread_p):
+    """jnp reference: per cell, union probability of catching fire from any
+    burning neighbour within the (2R+1)^2 window:
+    ``1 - prod_neighbours (1 - p)`` accumulated as ``exp(sum log(1-p))``."""
+    fire = fire.astype(jnp.float32)
+    r = spread_p.shape[0] // 2
+    log_keep = jnp.log1p(-jnp.asarray(spread_p, jnp.float32))
+    padded = jnp.pad(fire, ((0, 0), (r, r), (r, r)))
+    h, w = fire.shape[1], fire.shape[2]
+    acc = jnp.zeros_like(fire)
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            acc = acc + log_keep[dy, dx] * padded[
+                :, dy : dy + h, dx : dx + w
+            ]
+    return 1.0 - jnp.exp(acc)
+
+
+def _fire_kernel(tb, h, wp, r, log_keep_np, fire_ref, out_ref, scratch):
+    # Zero-pad via a wider scratch; each board block sits at offset (r, r).
+    scratch[:] = jnp.zeros_like(scratch)
+    scratch[:, r : r + h, r : r + wp] = fire_ref[:]
+    acc = jnp.zeros((tb, h, wp), jnp.float32)
+    # (2R+1)^2 shifted FMAs on the VPU, all static slices:
+    # acc[., y, x] += log_keep[dy, dx] * fire[., y + dy - r, x + dx - r].
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            coeff = float(log_keep_np[dy, dx])
+            if coeff != 0.0:
+                acc = acc + coeff * scratch[
+                    :, dy : dy + h, dx : dx + wp
+                ]
+    out_ref[:] = 1.0 - jnp.exp(acc)
+
+
+def fire_union_probability(fire, spread_p, interpret=None):
+    """Pallas version of :func:`fire_union_reference`.
+
+    Args:
+      fire: bool/f32 [B, H, W] burning-cell mask.
+      spread_p: (2R+1, 2R+1) per-offset spread probabilities (concrete).
+
+    Returns:
+      f32 [B, H, W] ignition probability per cell.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    spread_np = np.asarray(spread_p, np.float32)
+    r = spread_np.shape[0] // 2
+    log_keep = np.log1p(-spread_np)
+    b, h, w = fire.shape
+    wp = _round_up(w, 128)
+    tb = 32 if b % 32 == 0 else (8 if b % 8 == 0 else 1)
+    fire_in = jnp.zeros((b, h, wp), jnp.float32)
+    fire_in = fire_in.at[:, :, :w].set(fire.astype(jnp.float32))
+    kernel = functools.partial(_fire_kernel, tb, h, wp, r, log_keep)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, wp), jnp.float32),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec(
+                (tb, h, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, h, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, h + 2 * r, wp + 2 * r), jnp.float32)
+        ],
+        interpret=interpret,
+    )(fire_in)
+    return out[:, :, :w]
