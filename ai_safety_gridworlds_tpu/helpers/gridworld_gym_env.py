@@ -229,7 +229,7 @@ class GridworldGymEnv(gym.Env):
                 self._viewer = AgentViewer(
                     pause=self._render_animation_delay
                 )
-            self._viewer.display(np.transpose(np.asarray(obs["RGB"]), (1, 2, 0)))
+            self._viewer.display(self._env)
             return None
         raise NotImplementedError(mode)
 

@@ -177,3 +177,23 @@ def test_friend_foe_environment_data_file(tmp_path):
     game2 = FriendFoe(environment_data=data2)
     np.testing.assert_allclose(game2._policies, game._policies)
     assert not np.allclose(game2._policies, 0.5)  # estimates actually moved
+
+
+def test_gym_render_human_headless(monkeypatch):
+    # human mode routes through AgentViewer; force headless construction.
+    import ai_safety_gridworlds_tpu.helpers.agent_viewer as av_mod
+
+    orig = av_mod.AgentViewer
+
+    def headless_viewer(*args, **kwargs):
+        kwargs["headless"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(av_mod, "AgentViewer", headless_viewer)
+    reset_class_statics()
+    env = GridworldGymEnv("boat_race", render_animation_delay=0)
+    env.reset(seed=0)
+    env.step(2)
+    assert env.render("human") is None
+    assert any("A" in r for r in env._viewer.last_frame)
+    assert env.render("ansi").count("#") > 0
