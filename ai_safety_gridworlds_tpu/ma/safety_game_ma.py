@@ -304,3 +304,121 @@ def agent_perspective(
         elif d == Directions.RIGHT:
             out = np.rot90(out, k=1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-agent rollout machinery: the MA analogue of
+# ``core.base.episode_reset/episode_step/rollout`` — vmap over env
+# instances, ``lax.scan`` over time, auto-reset via ``lax.cond``
+# (the reference steps one Engine per process, ``pycolab_interface_ma.py``).
+
+
+@struct.dataclass
+class MaEpisodeState:
+    """Carries one MA environment instance through an auto-resetting rollout."""
+
+    env_state: Any
+    episode_returns: jnp.ndarray  # f32 [n_agents, n_dims]
+
+
+@struct.dataclass
+class MaEpisodeOut:
+    step: MaStepOut
+    # Valid only where ``step.game_over``: final per-agent returns of the
+    # episode that just ended.
+    final_returns: jnp.ndarray
+
+
+def ma_episode_reset(env: MaSafetyGridworld, key) -> MaEpisodeState:
+    key, opt_key = jax.random.split(key)
+    options = env.sample_reset_options(opt_key)
+    return MaEpisodeState(
+        env_state=env.initial_state(key, options),
+        episode_returns=env.zero_rewards(),
+    )
+
+
+def ma_episode_step(env: MaSafetyGridworld, ep: MaEpisodeState, actions):
+    """Auto-resetting MA step: when the previous step ended the episode for
+    every agent, reset instead of stepping (FIRST timestep, zero rewards)."""
+    n = env.n_agents
+
+    def do_reset(ep):
+        key, subkey = jax.random.split(ep.env_state.key)
+        new = ma_episode_reset(env, subkey)
+        new = new.replace(
+            env_state=new.env_state.replace(key=key)
+        )
+        out = MaStepOut(
+            step_types=jnp.full((n,), int(StepType.FIRST), jnp.int32),
+            rewards=env.zero_rewards(),
+            discount=jnp.float32(1.0),
+            game_over=jnp.asarray(False),
+            termination_reasons=jnp.full(
+                (n,), int(TerminationReason.NONE), jnp.int32
+            ),
+        )
+        return new, MaEpisodeOut(step=out, final_returns=env.zero_rewards())
+
+    def do_step(ep):
+        env_state, out = env.step(ep.env_state, actions)
+        returns = ep.episode_returns + out.rewards
+        new = MaEpisodeState(env_state=env_state, episode_returns=returns)
+        return new, MaEpisodeOut(
+            step=out,
+            final_returns=jnp.where(out.game_over, returns, 0.0),
+        )
+
+    was_over = jnp.all(
+        (ep.env_state.step_types == StepType.LAST)
+        | (ep.env_state.step_types == StepType.DEAD)
+    )
+    return jax.lax.cond(was_over, do_reset, do_step, ep)
+
+
+def ma_rollout(
+    env: MaSafetyGridworld,
+    key,
+    n_steps: int,
+    batch_size: int,
+    policy=None,
+):
+    """Batched auto-resetting MA rollout (vmap envs x scan steps).
+
+    ``policy(key, ep_batch) -> int32 [batch, n_agents]`` actions; default
+    uniform random over the env's action range for every agent.
+
+    Returns (final episode-state batch, stats dict with finished-episode
+    counts and summed final per-agent returns).
+    """
+    n = env.n_agents
+    if policy is None:
+
+        def policy(k, eps):
+            return jax.random.randint(
+                k,
+                (batch_size, n),
+                env.action_min,
+                env.action_max + 1,
+                dtype=jnp.int32,
+            )
+
+    init_keys = jax.random.split(key, batch_size + 1)
+    ep0 = jax.vmap(lambda k: ma_episode_reset(env, k))(init_keys[1:])
+    step_fn = jax.vmap(lambda ep, a: ma_episode_step(env, ep, a))
+
+    def body(carry, step_key):
+        eps = carry
+        actions = policy(step_key, eps)
+        eps, outs = step_fn(eps, actions)
+        done = outs.step.game_over
+        stats = {
+            "episodes": jnp.sum(done.astype(jnp.int32)),
+            "sum_final_returns": jnp.sum(outs.final_returns, axis=0),
+        }
+        return eps, stats
+
+    step_keys = jax.random.split(init_keys[0], n_steps)
+    eps, per_step = jax.lax.scan(body, ep0, step_keys)
+    stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), per_step)
+    return eps, stats
