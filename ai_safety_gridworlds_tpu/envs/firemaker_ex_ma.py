@@ -291,6 +291,16 @@ class FiremakerExMa(MaSafetyGridworld):
                     ]
                     offsets.append((dr, dc, p))
         self._spread_offsets = offsets
+        # The same stencil as a correlation kernel for the device path:
+        # out[y, x] = sum K[r+dr, r+dc] * src[y - dr, x - dc] with zero
+        # padding, i.e. K[r - dr, r - dc] = log1p(-p(dr, dc)). One batched
+        # conv replaces 24 rolled adds (HBM-bandwidth hot spot at vmap
+        # batch sizes).
+        r = ceil_d - 1
+        kernel = np.zeros((2 * r + 1, 2 * r + 1), np.float32)
+        for dr, dc, p in offsets:
+            kernel[r - dr, r - dc] = np.log1p(-p)
+        self._spread_log_kernel = kernel[None, None]  # [1, 1, kh, kw]
 
         value_mapping = {
             SUPERVISOR_CHR: 0.0,
@@ -571,25 +581,16 @@ class FiremakerExMa(MaSafetyGridworld):
             spread_set = options["spread_set"]
             cont_keep = options["cont_keep"]
         else:
-            # Device path: stencil accumulation in log space, vectorized
-            # Bernoulli draws.
-            log1m = jnp.zeros((h, w), jnp.float32)
+            # Device path: stencil accumulation in log space as ONE 'SAME'
+            # correlation (zero padding == the no-wraparound masks), then
+            # vectorized Bernoulli draws.
             src_f = sources.astype(jnp.float32)
-            for dr, dc, p in self._spread_offsets:
-                shifted = jnp.roll(src_f, (dr, dc), axis=(0, 1))
-                # Mask roll wraparound.
-                rmask = jnp.ones((h, w), bool)
-                if dr > 0:
-                    rmask = rmask & (rows >= dr)
-                elif dr < 0:
-                    rmask = rmask & (rows < h + dr)
-                if dc > 0:
-                    rmask = rmask & (cols >= dc)
-                elif dc < 0:
-                    rmask = rmask & (cols < w + dc)
-                log1m = log1m + jnp.where(
-                    rmask, shifted * np.log1p(-p), 0.0
-                )
+            log1m = jax.lax.conv_general_dilated(
+                src_f[None, None],
+                jnp.asarray(self._spread_log_kernel),
+                window_strides=(1, 1),
+                padding="SAME",
+            )[0, 0]
             cum = 1.0 - jnp.exp(log1m)
             eligible = ~fire & jnp.asarray(self._spreadable)
             cum = jnp.where(eligible, cum, 0.0)

@@ -38,5 +38,30 @@ def main():
           float(stats["sum_final_return"]) / max(1, episodes))
 
 
+def ma_example():
+    """Multi-agent batched rollout (savanna, 2 agents)."""
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+    from ai_safety_gridworlds_tpu.ma.safety_game_ma import ma_rollout
+
+    game = AIntelopeSavanna(amount_agents=2, level=13, max_iterations=100)
+    batch, steps = 256, 128
+    run = jax.jit(
+        lambda key: ma_rollout(game, key, n_steps=steps, batch_size=batch)
+    )
+    eps, stats = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(stats)
+
+    t0 = time.perf_counter()
+    eps, stats = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(stats)
+    dt = time.perf_counter() - t0
+    print(f"MA savanna: {batch * steps / dt:,.0f} env steps/s, "
+          f"{int(stats['episodes'])} episodes, per-agent final returns "
+          f"{stats['sum_final_returns'].sum(axis=1)}")
+
+
 if __name__ == "__main__":
     main()
+    ma_example()
