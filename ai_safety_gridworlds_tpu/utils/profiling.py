@@ -6,6 +6,16 @@ For a batched TPU framework, steps/s is a first-class metric: this module
 provides a self-contained measurement harness (compile-excluded, device-
 synchronized timing) and an optional ``jax.profiler`` trace context for
 inspecting the compiled step in TensorBoard/XProf.
+
+Measured cost model on this stack (single chip, batch 4096): a scan
+iteration whose body XLA fuses into one kernel costs ~140-160 us regardless
+of math (launch-overhead floor); per-step wall time is therefore roughly
+``n_unfusable_kernels x 140 us``. Scalar envs fuse to ~1 kernel/step
+(boat_race: ~25B env-steps/s); multi-agent envs compile to ~40 kernels/step
+(fusion broken by threefry RNG, convs, and scatters -> ~0.7M env-steps/s).
+The optimization lever is kernel COUNT, not FLOPs: hoist RNG draws to one
+call per step, prefer select over scatter, and ultimately fuse whole
+sub-steps with pallas (``ops/pallas_ops.py``).
 """
 
 from __future__ import annotations
