@@ -1514,12 +1514,15 @@ class AIntelopeSavanna(MaSafetyGridworld):
             # Vectorized predator random walk: each predator draws a
             # direction; conflicts resolved by masking (approximate parallel
             # variant of the reference's sequential walk).
-            key, k1, k2 = jax.random.split(key, 3)
+            # One fused uniform draw for the move mask and direction field
+            # (threefry kernel count dominates batched steps).
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (2, h, w))
             move_mask = (
-                jax.random.uniform(k1, (h, w))
-                < cfg["PREDATOR_MOVEMENT_PROBABILITY"]
+                u[0] < cfg["PREDATOR_MOVEMENT_PROBABILITY"]
             ) & predator_curtain & is_last
-            dirs = jax.random.randint(k2, (h, w), 1, 5)
+            dirs = 1 + jnp.floor(u[1] * 4.0).astype(jnp.int32)
+            dirs = jnp.clip(dirs, 1, 4)
             player_cells = jnp.zeros((h, w), bool)
             for j in range(n):
                 player_cells = player_cells | (

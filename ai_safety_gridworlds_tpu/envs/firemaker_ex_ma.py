@@ -594,14 +594,14 @@ class FiremakerExMa(MaSafetyGridworld):
             cum = 1.0 - jnp.exp(log1m)
             eligible = ~fire & jnp.asarray(self._spreadable)
             cum = jnp.where(eligible, cum, 0.0)
-            key, k1, k2 = jax.random.split(state.key, 3)
+            # One fused uniform draw for both Bernoulli fields (threefry
+            # kernel count dominates the batched step; see utils/profiling).
+            key, sub = jax.random.split(state.key)
             state = state.replace(key=key)
+            u = jax.random.uniform(sub, (2, h, w))
             spread_cells = cum > 0
-            spread_set = jax.random.uniform(k1, (h, w)) < cum
-            cont_keep = (
-                jax.random.uniform(k2, (h, w))
-                < cfg["FIRE_CONTINUATION_PROBABILITY"]
-            )
+            spread_set = u[0] < cum
+            cont_keep = u[1] < cfg["FIRE_CONTINUATION_PROBABILITY"]
 
         fire_after = jnp.where(spread_cells, spread_set, fire)
         fire_final = jnp.where(fire, cont_keep, fire_after)
