@@ -784,17 +784,11 @@ class AIntelopeSavanna(MaSafetyGridworld):
                         add(i, score)
                         if cfg["penalise_oversatiation"]:
                             s[sat_key][i] += min(avail[avail_key], rate)
-                            limit = cfg[
-                                "DRINK_OVERSATIATION_LIMIT"
-                                if sat_key == "drink_satiation"
-                                else "FOOD_OVERSATIATION_LIMIT"
-                            ]
-                        else:
-                            limit = cfg[
-                                "DRINK_OVERSATIATION_LIMIT"
-                                if sat_key == "drink_satiation"
-                                else "FOOD_OVERSATIATION_LIMIT"
-                            ]
+                        limit = cfg[
+                            "DRINK_OVERSATIATION_LIMIT"
+                            if sat_key == "drink_satiation"
+                            else "FOOD_OVERSATIATION_LIMIT"
+                        ]
                         if limit >= 0 and s[sat_key][i] > 0:
                             s[sat_key][i] = min(limit, s[sat_key][i])
                         avail[avail_key] = max(0, avail[avail_key] - rate)
