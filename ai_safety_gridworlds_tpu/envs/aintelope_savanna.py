@@ -335,7 +335,9 @@ class AIntelopeSavanna(MaSafetyGridworld):
     """Functional aintelope_savanna (``aintelope_savanna.py:1500-1781``)."""
 
     name = "aintelope_savanna"
-    what_lies_outside = GAP_CHR
+    # make_safety_game_mo default (``safety_game_moma.py:2111``):
+    # resized-map edges and perspective padding use walls.
+    what_lies_outside = WALL_CHR
 
     def __init__(self, scalarise=False, **kwargs):
         cfg = dict(DEFAULTS)
@@ -465,6 +467,44 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 counts[c] = 0
         self.tile_type_counts = counts
 
+        # Map resizing (``safety_game_ma.py:1135-1171``): the board is
+        # regenerated at map_height x map_width — edges filled with
+        # what_lies_outside ('#'), interior linearly filled
+        # from tile_type_counts and shuffled per episode. Mechanics presence
+        # then follows the counts, while the reward space above keeps the
+        # reference's original-art gating (``aintelope_savanna.py:1576``).
+        self._resized = False
+        if cfg["map_width"] is not None or cfg["map_height"] is not None:
+            mh = cfg["map_height"] or h
+            mw = cfg["map_width"] or w
+            if (mh, mw) != (h, w):
+                self._resized = True
+                interior = np.full(
+                    ((mh - 2) * (mw - 2),), ord(GAP_CHR), np.uint8
+                )
+                idx = 0
+                for tile_type, tile_count in self.tile_type_counts.items():
+                    interior[idx : idx + tile_count] = ord(tile_type)
+                    idx += tile_count
+                board = np.full((mh, mw), ord(WALL_CHR), np.uint8)
+                board[1:-1, 1:-1] = interior.reshape(mh - 2, mw - 2)
+                self._base_board = board
+                self._wall_mask0 = art.char_mask(board, WALL_CHR)
+                self.h, self.w = mh, mw
+                h, w = mh, mw
+                self._has_drink = cfg["amount_drink_holes"] > 0
+                self._has_small_drink = cfg["amount_small_drink_holes"] > 0
+                self._has_food = cfg["amount_food_patches"] > 0
+                self._has_small_food = cfg["amount_small_food_patches"] > 0
+                self._has_gold = cfg["amount_gold_deposits"] > 0
+                self._has_silver = cfg["amount_silver_deposits"] > 0
+                self._has_water = cfg["amount_water_tiles"] > 0
+                self._has_predators = cfg["amount_predators"] > 0
+                self._drink_enabled = (
+                    self._has_drink or self._has_small_drink
+                )
+                self._food_enabled = self._has_food or self._has_small_food
+
         # Metrics labels (``aintelope_savanna.py:697-737``).
         labels = []
         for c in self.agent_chars:
@@ -566,7 +606,7 @@ class AIntelopeSavanna(MaSafetyGridworld):
             self._base_board,
             np_random,
             what_lies_beneath=GAP_CHR,
-            what_lies_outside=GAP_CHR,
+            what_lies_outside=WALL_CHR,
             tile_type_counts=self.tile_type_counts,
             map_randomization_frequency=cfg["map_randomization_frequency"],
             preserve_map_edges=True,
@@ -731,7 +771,14 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 ]
                 delta = np.asarray(ACTION_DELTAS_MO)[abs_action]
                 target = s["pos"][i] + delta
-                blocked = s["wall"][target[0], target[1]] or any(
+                # Board edge is impassable even without a wall ring (resized
+                # maps fill edges with GAP; MazeWalker blocks the EDGE).
+                in_bounds = (
+                    0 <= target[0] < self.h and 0 <= target[1] < self.w
+                )
+                blocked = not in_bounds or s["wall"][
+                    target[0], target[1]
+                ] or any(
                     (s["pos"][j] == target).all() for j in range(n) if j != i
                 )
                 if not blocked:
@@ -1238,7 +1285,13 @@ class AIntelopeSavanna(MaSafetyGridworld):
         target = state.pos[i] + delta
         tr = jnp.clip(target[0], 0, h - 1)
         tc = jnp.clip(target[1], 0, w - 1)
-        blocked = state.wall[tr, tc] | occ[tr, tc]
+        in_bounds = (
+            (target[0] >= 0)
+            & (target[0] < h)
+            & (target[1] >= 0)
+            & (target[1] < w)
+        )
+        blocked = ~in_bounds | state.wall[tr, tc] | occ[tr, tc]
         new_pos_i = jnp.where(active & ~is_noop & ~blocked, target, state.pos[i])
         pos = state.pos.at[i].set(new_pos_i)
         act_dir = act_dir.at[i].set(

@@ -238,7 +238,19 @@ class SafetyEnvironmentMo(SafetyEnvironment):
             self._np_random = np.random.default_rng()
         self._pending_layout_reseed = True
 
+        # Construction-probe semantics (``safety_game_moma.py:283-391``): the
+        # probe reset inside super().__init__ randomizes under layout seed -1
+        # (the class statics are only assigned AFTER ``super().__init__`` at
+        # line 320), and when this is the first construction of the class the
+        # generator is then force-reseeded — so every draw the probe consumed
+        # is discarded and the first real reset starts from a virgin
+        # crc32-derived stream.
+        self._in_construction_probe = True
+        self._did_initial_reseed = False
         super().__init__(game, seed=seed)
+        self._in_construction_probe = False
+        if self._did_initial_reseed:
+            self._reseed(1, seed)
         self._environment_data[NP_RANDOM] = self._np_random
         self._environment_data[SEED] = self._original_seed
 
@@ -335,6 +347,10 @@ class SafetyEnvironmentMo(SafetyEnvironment):
                 statics["env_layout_seed"] = 1
                 statics["episode_no"] = 1
                 self._reseed(1, seed)
+                # Construction probe: record that the post-probe force-reseed
+                # must discard whatever this probe consumes.
+                if getattr(self, "_in_construction_probe", False):
+                    self._did_initial_reseed = True
             elif (
                 self._last_step_type is not None
                 and self._last_step_type != StepType.FIRST
@@ -631,6 +647,12 @@ class SafetyEnvironmentMo(SafetyEnvironment):
         return self._statics.get("env_seed", -1)
 
     def get_env_layout_seed(self):
+        # During the construction probe the reference's class statics are not
+        # yet assigned (``safety_game_moma.py:352-353``), so randomization
+        # cache keys built during the probe see layout -1 — the probe's map
+        # never collides with the first real episode's cache entry.
+        if getattr(self, "_in_construction_probe", False):
+            return -1
         return self._statics.get("env_layout_seed", -1)
 
     def get_trial_no(self):

@@ -222,3 +222,72 @@ def test_agent_perspectives_shape():
     )
     # radius [10,10,10,10] -> 21x21 window
     assert persp["0"]["board"].shape == (21, 21)
+
+
+def test_agent_perspectives_lockstep():
+    # Content parity incl. the '#' out-of-board padding and rotation.
+    ref, ours = make_pair(amount_agents=2, level=13)
+    ref_ts, our_ts = sync_reset(ref, ours)
+    rng = np.random.RandomState(96)
+    for i in range(25):
+        actions = {
+            a: int(rng.randint(0, 5))
+            for a in ours.agent_names
+            if int(ref_ts.step_type[a]) not in (2, 3)
+        }
+        if not actions:
+            ref_ts, our_ts = sync_reset(ref, ours)
+            continue
+        st = ref.environment_data["np_random"].bit_generator.state
+        ref_ts = ref.step(actions)
+        ours._np_random.bit_generator.state = st
+        our_ts = ours.step(dict(actions))
+        ref_p = ref.agent_perspectives_with_layers(
+            ref_ts.observation, include_layers=False
+        )
+        our_p = ours.agent_perspectives_with_layers(
+            our_ts.observation, include_layers=False
+        )
+        for a in ours.agent_names:
+            np.testing.assert_array_equal(
+                np.asarray(ref_p[a]["board"]),
+                our_p[a]["board"],
+                err_msg=f"step {i} agent {a}",
+            )
+
+
+def test_lockstep_corner_level_small():
+    # Level 4 (1x8 corridor): agent + food only.
+    ref, ours = make_pair(level=4, amount_food_patches=1)
+    run_lockstep(ref, ours, n_steps=80, seed=85)
+
+
+def test_lockstep_sharing_small2_two_agents():
+    # Level 15 (1x3 map "0F1"): both agents adjacent to one food tile.
+    ref, ours = make_pair(
+        level=15, amount_agents=2, amount_food_patches=1
+    )
+    run_lockstep(ref, ours, n_steps=80, seed=86)
+
+
+def test_lockstep_availability_metric_mode():
+    # use_*_availability_metric_instead_of_spawning_tiles: the drape keeps
+    # its tiles but the availability metric still depletes/regrows.
+    ref, ours = make_pair(
+        amount_agents=1,
+        amount_food_patches=2,
+        amount_drink_holes=2,
+        sustainability_challenge=True,
+        use_food_availability_metric_instead_of_spawning_tiles=True,
+        use_drink_availability_metric_instead_of_spawning_tiles=True,
+    )
+    run_lockstep(ref, ours, n_steps=150, seed=88)
+
+
+def test_lockstep_map_resize():
+    # map_width/map_height regenerate the interior from tile_type_counts
+    # at a new size (``safety_game_ma.py:1135-1171``).
+    ref, ours = make_pair(
+        level=1, amount_food_patches=1, map_width=8, map_height=8
+    )
+    run_lockstep(ref, ours, n_steps=100, seed=89)
