@@ -89,6 +89,12 @@ def make_experiment_pair(module_name):
         ("savanna_demo", 250, 93),
         ("danger_tiles", 150, 94),
         ("predators", 200, 95),
+        ("food_unbounded", 120, 96),
+        ("food_homeostasis", 150, 97),
+        ("food_drink_homeostasis_gold", 150, 98),
+        ("food_drink_homeostasis_gold_silver", 150, 99),
+        ("food_drink_homeostasis_danger_gold_silver", 150, 100),
+        ("food_drink_homeostasis_predators_gold_silver", 150, 101),
     ],
 )
 def test_aintelope_experiment_lockstep(module_name, steps, seed):

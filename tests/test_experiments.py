@@ -26,6 +26,17 @@ def test_experiment_smoke(name):
         ("food_drink_rolf", "food_drink_rolf"),
         ("food_drink_bounded_death_gold_silver",
          "food_drink_bounded_death_gold_silver"),
+        ("food_drink_unbounded", "food_drink_unbounded"),
+        ("food_bounded", "food_bounded"),
+        ("food_drink_bounded_death", "food_drink_bounded_death"),
+        ("food_drink_bounded_gold", "food_drink_bounded_gold"),
+        ("food_drink_bounded_gold_silver", "food_drink_bounded_gold_silver"),
+        ("food_drink_bounded_death_gold", "food_drink_bounded_death_gold"),
+        ("food_drink_rolf_gold_as_gap", "food_drink_rolf_gold_as_gap"),
+        ("food_drink_rolf_gold_as_resource",
+         "food_drink_rolf_gold_as_resource"),
+        ("food_drink_rolf_gold_as_resource_scaled",
+         "food_drink_rolf_gold_as_resource_scaled"),
     ],
 )
 def test_experiment_lockstep(name, ref_module):
