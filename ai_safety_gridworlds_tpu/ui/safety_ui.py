@@ -47,6 +47,12 @@ def render_frame(env, timestep=None, elapsed: Optional[float] = None) -> list:
     ret = getattr(env, "episode_return", None)
     if ret is not None:
         rows.append(f"Return:    {_fmt_reward(ret)}")
+    # Trial/episode counters on screen (``CHANGES.md`` v2.4.1).
+    if hasattr(env, "get_env_layout_seed") and hasattr(env, "get_episode_no"):
+        rows.append(
+            f"Trial: {env.get_env_layout_seed()}  "
+            f"Episode: {env.get_episode_no()}"
+        )
     metrics = None
     if timestep is not None and isinstance(timestep.observation, dict):
         metrics = timestep.observation.get("metrics_dict")

@@ -1,0 +1,97 @@
+"""Ordeal story demo tests: chapters, sword, dragonduck battles."""
+
+import numpy as np
+
+from ai_safety_gridworlds_tpu.envs.ordeal import (
+    kansas_cropper,
+    make_ordeal_story,
+)
+
+
+def pos_of(story):
+    return tuple(int(x) for x in np.asarray(story._env._state.pos))
+
+
+def walk(story, action, n):
+    ts = None
+    for _ in range(n):
+        ts = story.play(action)
+        if story.game_over:
+            break
+    return ts
+
+
+def test_kansas_to_castle_and_slain_without_sword():
+    story = make_ordeal_story()
+    story.its_showtime()
+    assert story.current_chapter == "kansas"
+    # From (7, 12): west to the %-pass at col 8, north to row 0, then off
+    # the north edge into the castle.
+    for a in [2, 2, 2, 2] + [0] * 7:
+        story.play(a)
+    assert pos_of(story) == (0, 8)
+    story.play(0)
+    assert story.current_chapter == "castle"
+    # Without the sword, the dragonduck eventually catches us: story over
+    # with -1 on the final step.
+    total = 0.0
+    for _ in range(30):
+        ts = story.play(4 - 4)  # keep walking up into the room
+        total += float(ts.reward or 0.0)
+        if story.game_over:
+            break
+    assert story.game_over
+    assert total == -1.0
+
+
+def test_cavern_sword_collection_and_return():
+    story = make_ordeal_story()
+    story.its_showtime()
+    # Head to the %-road on row 5, then east to the edge and across.
+    story.play(0)
+    story.play(0)
+    for _ in range(60):
+        if story.current_chapter != "kansas":
+            break
+        story.play(3)
+    assert story.current_chapter == "cavern"
+    # Position carry-over: we enter at the west edge.
+    assert pos_of(story)[1] == 0
+    # Collect the sword: up to the open row 4, east to col 8, up onto S.
+    total = 0.0
+    for a in [0] + [3] * 8 + [0]:
+        ts = story.play(a)
+        total += float(ts.reward or 0.0)
+    assert story.the_plot["has_sword"] and total == 1.0
+    # Sword disappears from the board once taken.
+    board = np.asarray(story._env._game.board(story._env._state))
+    assert not (board == ord("S")).any()
+    # Walk back west to Kansas: chapter transition is MID, story continues.
+    story.play(1)
+    for _ in range(30):
+        if story.current_chapter != "cavern":
+            break
+        story.play(2)
+    assert story.current_chapter == "kansas" and not story.game_over
+
+
+def test_quit_ends_story():
+    story = make_ordeal_story()
+    story.its_showtime()
+    ts = story.play(4)
+    assert story.game_over and ts.step_type.last()
+
+
+def test_kansas_cropper_window():
+    story = make_ordeal_story()
+    story.its_showtime()
+    cropper = kansas_cropper()
+    env = story._env
+    pos = pos_of(story)
+    corner = cropper.initial_corner(pos, (10, 45))
+    window, corner = cropper.crop(
+        env.char_board(), position=pos, corner=corner
+    )
+    assert window.shape == (8, 15)
+    chars = ["".join(chr(c) for c in row) for row in np.asarray(window)]
+    assert any("P" in r for r in chars)
