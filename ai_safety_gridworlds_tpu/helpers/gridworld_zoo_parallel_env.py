@@ -53,8 +53,14 @@ class GridworldZooParallelEnv(ParallelEnv):
         pass_through_arguments: Optional[dict] = None,
         observable_attribute_categories: Optional[list] = None,
         observable_attribute_value_mapping: Optional[dict] = None,
+        object_coordinates_in_observation: bool = False,
+        layers_order_in_cube: Optional[list] = None,
         **kwargs,
     ):
+        self._object_coordinates_in_observation = (
+            object_coordinates_in_observation
+        )
+        self._layers_order_in_cube = layers_order_in_cube
         self._env_name = env_name
         self._env = factory.get_environment_obj(
             env_name,
@@ -251,6 +257,7 @@ class GridworldZooParallelEnv(ParallelEnv):
                 INFO_OBSERVED_REWARD: rewards[name],
                 INFO_DISCOUNT: ts.discount,
             }
+            infos[name].update(self._extra_info(ts.observation))
             if done:
                 self._dones[name] = True
         # Agents done in previous steps are removed entirely
@@ -258,6 +265,31 @@ class GridworldZooParallelEnv(ParallelEnv):
         for name in previously_done:
             pass
         return observations, rewards, terminations, truncations, infos
+
+    def _extra_info(self, obs) -> dict:
+        """Optional global-observation info fields (coordinates / layer cube),
+        mirroring the gym adapter (``gridworld_zoo_parallel_env.py:537-566``)."""
+        extra = {}
+        env = self._env
+        if self._object_coordinates_in_observation and hasattr(
+            env, "calculate_observation_coordinates"
+        ):
+            extra["info_observation_coordinates"] = (
+                env.calculate_observation_coordinates(obs)
+            )
+        if self._layers_order_in_cube is not None and hasattr(
+            env, "calculate_observation_layers_cube"
+        ):
+            order = env.get_layers_order(
+                obs, layers_order=self._layers_order_in_cube
+            )
+            extra["info_observation_layers_order"] = order
+            extra["info_observation_layers_cube"] = (
+                env.calculate_observation_layers_cube(
+                    obs, layers_order=order
+                )
+            )
+        return extra
 
     def render(self, mode=None):
         mode = mode or self.render_mode or "ansi"

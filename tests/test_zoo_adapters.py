@@ -87,3 +87,24 @@ def test_aec_cycle():
         env.step(int(rng.randint(0, 5)))
     # Cycled through both agents repeatedly without protocol errors.
     assert True
+
+
+def test_parallel_info_coordinates_and_cube():
+    from ai_safety_gridworlds_tpu.mo.safety_game_mo import reset_class_statics
+
+    reset_class_statics()
+    env = GridworldZooParallelEnv(
+        env_name="firemaker_ex_ma",
+        object_coordinates_in_observation=True,
+        layers_order_in_cube=[],
+    )
+    env.reset(seed=0)
+    obs, rewards, terms, truncs, infos = env.step(
+        {a: 1 for a in env.agents}
+    )
+    info = infos[env.agents[0]]
+    coords = info["info_observation_coordinates"]
+    assert len(coords["1"]) == 1  # one worker cell
+    cube = info["info_observation_layers_cube"]
+    order = info["info_observation_layers_order"]
+    assert cube.shape[0] == len(order)
