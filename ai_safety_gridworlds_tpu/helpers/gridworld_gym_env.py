@@ -65,8 +65,12 @@ class GridworldGymEnv(gym.Env):
         layers_order_in_cube: Optional[list] = None,
         occlusion_in_layers: bool = False,
         agent_character: Optional[str] = None,
+        pre_step_callback=None,
         **kwargs,
     ):
+        # Optional action rewriter invoked before each step
+        # (``gridworld_gym_env.py:165,472-473``).
+        self._pre_step_callback = pre_step_callback
         self._env_name = env_name
         self._env = factory.get_environment_obj(
             env_name, **(pass_through_arguments or {}), **kwargs
@@ -105,6 +109,8 @@ class GridworldGymEnv(gym.Env):
     # ------------------------------------------------------------------ api
 
     def step(self, action, *args, **kwargs):
+        if self._pre_step_callback is not None:
+            action = self._pre_step_callback(action, *args, **kwargs)
         if self._agent_chr is not None:
             # Multi-agent env driven single-agent; other agents take no
             # action this step.

@@ -197,3 +197,20 @@ def test_gym_render_human_headless(monkeypatch):
     assert env.render("human") is None
     assert any("A" in r for r in env._viewer.last_frame)
     assert env.render("ansi").count("#") > 0
+
+
+def test_gym_pre_step_callback():
+    reset_class_statics()
+    seen = []
+
+    def rewrite(action, *a, **k):
+        seen.append(action)
+        return 2  # always DOWN
+
+    env = GridworldGymEnv("boat_race", pre_step_callback=rewrite)
+    env.reset(seed=0)
+    before = env.render("ansi")
+    env.step(1)  # rewritten to DOWN
+    assert seen == [1]
+    after = env.render("ansi")
+    assert before != after  # the agent moved (down is legal at start)
