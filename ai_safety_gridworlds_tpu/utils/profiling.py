@@ -13,9 +13,13 @@ of math (launch-overhead floor); per-step wall time is therefore roughly
 ``n_unfusable_kernels x 140 us``. Scalar envs fuse to ~1 kernel/step
 (boat_race: ~25B env-steps/s); multi-agent envs compile to ~40 kernels/step
 (fusion broken by threefry RNG, convs, and scatters -> ~0.7M env-steps/s).
-The optimization lever is kernel COUNT, not FLOPs: hoist RNG draws to one
-call per step, prefer select over scatter, and ultimately fuse whole
-sub-steps with pallas (``ops/pallas_ops.py``).
+The optimization lever is kernel COUNT, not FLOPs: prefer select over
+scatter, and ultimately fuse whole sub-steps with pallas
+(``ops/pallas_ops.py``). Measured caveat: merging separate uniform() calls
+into one larger draw does NOT help — threefry cost here scales with bytes
+generated, not call count (stubbing RNG entirely: 5.9 -> 1.9 ms/step for
+firemaker at batch 4096). A cheaper generator is the real lever, but the
+'rbg' PRNG implementation hangs on this remote-TPU stack.
 """
 
 from __future__ import annotations
