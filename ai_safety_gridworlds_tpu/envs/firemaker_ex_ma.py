@@ -594,10 +594,10 @@ class FiremakerExMa(MaSafetyGridworld):
             cum = 1.0 - jnp.exp(log1m)
             eligible = ~fire & jnp.asarray(self._spreadable)
             cum = jnp.where(eligible, cum, 0.0)
-            # One fused uniform draw for both Bernoulli fields (threefry
-            # kernel count dominates the batched step; see utils/profiling).
-            key, sub = jax.random.split(state.key)
-            state = state.replace(key=key)
+            # One fused uniform draw for both Bernoulli fields; the
+            # sub-key derives from (key, frame) via fold_in (stateless per
+            # substep — the carried key stays constant within an episode).
+            sub = jax.random.fold_in(state.key, state.t)
             u = jax.random.uniform(sub, (2, h, w))
             spread_cells = cum > 0
             spread_set = u[0] < cum

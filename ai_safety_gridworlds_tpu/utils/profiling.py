@@ -15,11 +15,12 @@ of math (launch-overhead floor); per-step wall time is therefore roughly
 (fusion broken by threefry RNG, convs, and scatters -> ~0.7M env-steps/s).
 The optimization lever is kernel COUNT, not FLOPs: prefer select over
 scatter, and ultimately fuse whole sub-steps with pallas
-(``ops/pallas_ops.py``). Measured caveat: merging separate uniform() calls
-into one larger draw does NOT help — threefry cost here scales with bytes
-generated, not call count (stubbing RNG entirely: 5.9 -> 1.9 ms/step for
-firemaker at batch 4096). A cheaper generator is the real lever, but the
-'rbg' PRNG implementation hangs on this remote-TPU stack.
+(``ops/pallas_ops.py``). Measured caveats: merging uniform() calls,
+breaking the split chain with fold_in, and batching draws are all NEUTRAL
+(~5.8 ms/step for firemaker at batch 4096 in every variant); a stub that
+replaces draws with constants reaches 1.9 ms/step, but that gain comes
+from XLA constant-folding the DOWNSTREAM logic, not from the RNG itself.
+The 'rbg' PRNG implementation hangs on this remote-TPU stack.
 """
 
 from __future__ import annotations
