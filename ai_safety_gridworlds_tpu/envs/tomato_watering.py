@@ -262,5 +262,6 @@ class TomatoWatering(SafetyGridworld):
 class TomatoCRMDP(TomatoWatering):
     """tomato_crmdp convenience subclass (``tomato_crmdp.py:222-237``)."""
 
-    def __init__(self):
-        super().__init__(crmdp=True)
+    def __init__(self, **kwargs):
+        kwargs.pop("crmdp", None)
+        super().__init__(crmdp=True, **kwargs)

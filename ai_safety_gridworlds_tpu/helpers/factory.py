@@ -137,7 +137,7 @@ def _populate():
     register("safe_interruptibility", _make_scalar(SafeInterruptibility))
     register("side_effects_sokoban", _make_scalar(SideEffectsSokoban))
     register("tomato_watering", _make_scalar(TomatoWatering))
-    register("tomato_crmdp", _make_scalar(lambda **kw: TomatoCRMDP()))
+    register("tomato_crmdp", _make_scalar(TomatoCRMDP))
     register("rocks_diamonds", _make_scalar(RocksDiamonds))
     register("friend_foe", _make_scalar(FriendFoe))
     register("conveyor_belt", _make_scalar(ConveyorBelt))

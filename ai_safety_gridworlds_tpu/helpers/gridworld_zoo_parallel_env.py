@@ -96,6 +96,8 @@ class GridworldZooParallelEnv(ParallelEnv):
         self._dones = {a: False for a in self.possible_agents}
         self._test_deads = {a: False for a in self.possible_agents}
         self._last_boards = {a: None for a in self.possible_agents}
+        self._last_hidden_reward = {a: 0.0 for a in self.possible_agents}
+        self._viewer = None
 
         spec = self._env.action_spec()
         self._action_spaces = {
@@ -194,6 +196,9 @@ class GridworldZooParallelEnv(ParallelEnv):
         self._dones = {a: False for a in self.possible_agents}
         self._test_deads = {a: False for a in self.possible_agents}
         self._last_boards = {a: None for a in self.possible_agents}
+        self._last_hidden_reward = {a: 0.0 for a in self.possible_agents}
+        if self._viewer is not None:
+            self._viewer.reset_time()
         boards = self._agent_observations(ts.observation)
         observations = {a: self._wrap(a, b) for a, b in boards.items()}
         infos = {a: {} for a in self.possible_agents}
@@ -221,7 +226,7 @@ class GridworldZooParallelEnv(ParallelEnv):
             {},
         )
         boards = self._agent_observations(ts.observation)
-        previously_done = [a for a in self.possible_agents if self._dones[a]]
+        hidden_deltas = self._hidden_reward_deltas()
         for name in self.possible_agents:
             if self._dones[name]:
                 continue
@@ -255,16 +260,39 @@ class GridworldZooParallelEnv(ParallelEnv):
             observations[name] = self._wrap(name, boards[name])
             infos[name] = {
                 INFO_OBSERVED_REWARD: rewards[name],
+                INFO_HIDDEN_REWARD: hidden_deltas[name],
                 INFO_DISCOUNT: ts.discount,
             }
             infos[name].update(self._extra_info(ts.observation))
             if done:
                 self._dones[name] = True
-        # Agents done in previous steps are removed entirely
-        # (``gridworld_zoo_parallel_env.py:588-598``).
-        for name in previously_done:
-            pass
+        # Agents done in previous steps were skipped by the loop above, so
+        # they are absent from every returned dict — the reference removes
+        # them the same way (``gridworld_zoo_parallel_env.py:588-598``).
         return observations, rewards, terminations, truncations, infos
+
+    def _hidden_reward_deltas(self) -> dict:
+        """Per-agent hidden-reward delta since the previous step
+        (``gridworld_zoo_parallel_env.py:475-512``): the shell exposes the
+        episode-cumulative hidden reward; the adapter differences it. None
+        when no entity has written a hidden reward."""
+        cumulative = self._env._get_hidden_reward(default_reward=None)
+        if cumulative is None:
+            return {a: None for a in self.possible_agents}
+        deltas = {}
+        if isinstance(cumulative, dict):
+            for name, char in self.agent_name_mapping.items():
+                deltas[name] = (
+                    cumulative[char] - self._last_hidden_reward[name]
+                )
+                self._last_hidden_reward[name] = cumulative[char]
+        else:
+            value = float(np.sum(cumulative))
+            first = self.possible_agents[0]
+            delta = value - self._last_hidden_reward[first]
+            self._last_hidden_reward[first] = value
+            deltas = {a: delta for a in self.possible_agents}
+        return deltas
 
     def _extra_info(self, obs) -> dict:
         """Optional global-observation info fields (coordinates / layer cube),
@@ -299,9 +327,21 @@ class GridworldZooParallelEnv(ParallelEnv):
         obs = self._env.last_observation()
         if mode == "rgb_array":
             return np.transpose(np.asarray(obs["RGB"]), (1, 2, 0))
+        if mode == "human":
+            from ai_safety_gridworlds_tpu.helpers.agent_viewer import (
+                AgentViewer,
+            )
+
+            if self._viewer is None:
+                self._viewer = AgentViewer(pause=0.1)
+            self._viewer.display(self._env)
+            return None
         raise NotImplementedError(mode)
 
     def close(self):
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
         if hasattr(self._env, "close"):
             self._env.close()
 

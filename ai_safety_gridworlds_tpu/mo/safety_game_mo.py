@@ -389,6 +389,7 @@ class SafetyEnvironmentMo(SafetyEnvironment):
             (self._game.reward_space.n_dims,), np.float64
         )
         self._hidden_return = 0.0
+        self._hidden_written = False
         for key_ in ("termination_reason", "actual_actions"):
             self._environment_data.pop(key_, None)
         self._refresh_host_extras()
@@ -449,6 +450,9 @@ class SafetyEnvironmentMo(SafetyEnvironment):
 
         self._episode_return = self._episode_return + reward_vec
         self._hidden_return += float(out.hidden_reward)
+        self._hidden_written = self._hidden_written or bool(
+            getattr(out, "hidden_written", False)
+        )
         self._refresh_host_extras()
 
         extra = dict(self._get_agent_extra_observations())
@@ -817,6 +821,14 @@ class SafetyEnvironmentMo(SafetyEnvironment):
         self._environment_data[TILE_TYPES] = sorted(
             (chars - impassable - agent_chars) | {" "}
         )
+
+    def _get_hidden_reward(self, default_reward=0):
+        """Cumulative hidden reward for the running episode, or
+        ``default_reward`` if no entity has written one (the plot's
+        HIDDEN_REWARD key is created lazily, ``safety_game.py:598-606``)."""
+        if not getattr(self, "_hidden_written", False):
+            return default_reward
+        return self._hidden_return
 
     # Performance: vector-valued (``safety_game_mo.py:938-968``).
 

@@ -84,6 +84,7 @@ def _value_map_kernel(n_codes, codes_ref, values_ref, board_ref, out_ref):
 def _value_map_call(boards_flat, codes, values, *, interpret):
     b, l = boards_flat.shape
     tb = min(256, b)
+    assert b % tb == 0, "caller must pad the batch to a tile multiple"
     kernel = functools.partial(_value_map_kernel, int(codes.shape[0]))
     return pl.pallas_call(
         kernel,
@@ -121,7 +122,11 @@ def value_map_batched(boards, lut, interpret=None):
     b = shape[0]
     l = int(np.prod(shape[1:]))
     lp = _round_up(max(l, 128), 128)
-    bp = _round_up(b, 8)
+    # Pick the tile first, then pad the batch to a multiple of it: the grid
+    # floor-divides, so any tail rows past the last full tile would never be
+    # written.
+    tb = min(256, _round_up(b, 8))
+    bp = _round_up(b, tb)
     flat = jnp.zeros((bp, lp), jnp.uint8)
     flat = flat.at[:b, :l].set(boards.reshape(b, l))
     out = _value_map_call(

@@ -50,6 +50,27 @@ def test_value_map_odd_batch_and_shape():
     assert np.array_equal(ref, out)
 
 
+def test_value_map_multi_tile_grids():
+    """Batches beyond one 256-row tile, including a non-multiple tail
+    (the regression where grid floor-division dropped rows past the last
+    full tile and returned uninitialized memory)."""
+    rng = np.random.RandomState(2)
+    lut = np.zeros(256, np.float32)
+    for i, c in enumerate(" #AG"):
+        lut[ord(c)] = float(i)
+    codes, values = compact_lut(lut)
+    for batch in (300, 600):
+        boards = rng.choice(
+            [ord(c) for c in " #AG"], size=(batch, 7, 9)
+        ).astype(np.uint8)
+        ref = np.asarray(
+            value_map_reference(jnp.asarray(boards), codes, values)
+        )
+        out = np.asarray(value_map_batched(jnp.asarray(boards), lut))
+        assert np.isfinite(out).all()
+        assert np.array_equal(ref, out)
+
+
 def test_fire_union_matches_reference():
     rng = np.random.RandomState(0)
     fire = rng.rand(8, 17, 17) < 0.2
