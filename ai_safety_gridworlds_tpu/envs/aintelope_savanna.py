@@ -358,6 +358,16 @@ class AIntelopeSavanna(MaSafetyGridworld):
         ]
         self.observation_radius = cfg["observation_radius"]
         self.observation_direction_mode = cfg["observation_direction_mode"]
+        # Continuous expression modalities (``aintelope_savanna.py:1675-1683``).
+        self.continuous_action_ranges = {
+            "expression_happy": (0, 1),
+            "expression_sad": (0, 1),
+            "expression_angry": (0, 1),
+            "expression_afraid": (0, 1),
+            "expression_surprised": (0, 1),
+            "expression_friendly": (0, 1),
+            "expression_tired": (0, 1),
+        }
         self.action_direction_mode = cfg["action_direction_mode"]
 
         art_rows = GAME_ART[self.level]
@@ -706,7 +716,8 @@ class AIntelopeSavanna(MaSafetyGridworld):
 
     # ------------------------------------------------------ host mirror
 
-    def host_substep(self, state: SavannaState, i: int, action: int, np_random):
+    def host_substep(self, state: SavannaState, i: int, action: int, np_random,
+                     overrides=None):
         """Numpy sub-step mirror with exact Generator draw order."""
         from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
             _DIR_TO_ACTION,
@@ -761,9 +772,19 @@ class AIntelopeSavanna(MaSafetyGridworld):
         active = not is_quit and not dead
 
         # --- acting agent sprite --------------------------------------------
+        # Direction modality overrides steer the facing updates instead of
+        # the ``step`` entry (``safety_game_ma.py:652-653,715-716``).
+        act_prop = obs_prop = action
+        if overrides is not None:
+            ado = int(overrides["action_direction_override"][i])
+            odo = int(overrides["observation_direction_override"][i])
+            if ado >= 0:
+                act_prop = ado
+            if odo >= 0:
+                obs_prop = odo
         if active:
             s["observation_direction"][i] = _REL_DIR[
-                min(max(action, 0), 9), s["observation_direction"][i]
+                min(max(obs_prop, 0), 9), s["observation_direction"][i]
             ]
             if not is_noop:
                 abs_action = _DIR_TO_ACTION[
@@ -783,9 +804,9 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 )
                 if not blocked:
                     s["pos"][i] = target
-                s["action_direction"][i] = _REL_DIR[
-                    min(max(action, 0), 9), s["action_direction"][i]
-                ]
+            s["action_direction"][i] = _REL_DIR[
+                min(max(act_prop, 0), 9), s["action_direction"][i]
+            ]
             s["step_count"][i] += 1
 
             pos_i = tuple(s["pos"][i])
@@ -1261,11 +1282,21 @@ class AIntelopeSavanna(MaSafetyGridworld):
         active = ~is_quit & ~dead
         rewards = self.zero_rewards()
 
+        # Direction modality overrides (``safety_game_ma.py:652-653,715-716``):
+        # dict-action entries steer the facing updates instead of ``step``.
+        act_prop = obs_prop = action
+        if options is not None and "action_direction_override" in options:
+            ado = options["action_direction_override"][i]
+            act_prop = jnp.where(ado >= 0, ado, action)
+        if options is not None and "observation_direction_override" in options:
+            odo = options["observation_direction_override"][i]
+            obs_prop = jnp.where(odo >= 0, odo, action)
+
         obs_dir = state.observation_direction
         obs_dir = obs_dir.at[i].set(
             jnp.where(
                 active,
-                rel_dir[jnp.clip(action, 0, 9), obs_dir[i]],
+                rel_dir[jnp.clip(obs_prop, 0, 9), obs_dir[i]],
                 obs_dir[i],
             )
         )
@@ -1296,8 +1327,8 @@ class AIntelopeSavanna(MaSafetyGridworld):
         pos = state.pos.at[i].set(new_pos_i)
         act_dir = act_dir.at[i].set(
             jnp.where(
-                active & ~is_noop,
-                rel_dir[jnp.clip(action, 0, 9), act_dir[i]],
+                active,
+                rel_dir[jnp.clip(act_prop, 0, 9), act_dir[i]],
                 act_dir[i],
             )
         )

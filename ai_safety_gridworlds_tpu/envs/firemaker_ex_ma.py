@@ -27,7 +27,16 @@ import numpy as np
 from flax import struct
 
 from ai_safety_gridworlds_tpu.core import art
-from ai_safety_gridworlds_tpu.core.actions import ACTION_DELTAS_MO, ActionsMo, Directions
+from ai_safety_gridworlds_tpu.core.actions import (
+    ACTION_DELTAS_MO,
+    DIR_TO_ACTION_MO,
+    REL_MOVE_DIR,
+    ActionsMo,
+    Directions,
+    absolute_move_action,
+    new_action_direction,
+    new_observation_direction,
+)
 from ai_safety_gridworlds_tpu.core.movement import attempt_move_masked
 from ai_safety_gridworlds_tpu.core.render import paint_sprite, rgb_map, value_map
 from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
@@ -376,7 +385,8 @@ class FiremakerExMa(MaSafetyGridworld):
                 )
         return spread_cells, spread_set, cont_keep
 
-    def host_substep_options(self, state, agent_idx, action, np_random):
+    def host_substep_options(self, state, agent_idx, action, np_random,
+                             overrides=None):
         """Pre-draw this sub-step's fire randomness with a host simulation
         of the deterministic parts (move, stop button, workshop)."""
         cfg = self.cfg
@@ -385,8 +395,19 @@ class FiremakerExMa(MaSafetyGridworld):
         acting = action >= 0
         if acting and reasons[agent_idx] == int(TerminationReason.NONE):
             if action not in (int(ActionsMo.QUIT), int(ActionsMo.NOOP)):
+                # Relative-move modes resolve the executed absolute action
+                # against the agent's current facing
+                # (``safety_game_ma.py:515-563``).
+                abs_action = int(action)
+                if self.action_direction_mode != 0 and 1 <= action <= 4:
+                    cur_dir = int(np.asarray(
+                        state.action_direction[agent_idx]
+                    ))
+                    abs_action = int(DIR_TO_ACTION_MO[
+                        REL_MOVE_DIR[min(max(action, 0), 9), cur_dir]
+                    ])
                 delta = np.asarray(ACTION_DELTAS_MO)[
-                    min(max(action, 0), 9)
+                    min(max(abs_action, 0), 9)
                 ]
                 target = pos[agent_idx] + delta
                 blocked = self._wall_mask[target[0], target[1]] or any(
@@ -441,8 +462,31 @@ class FiremakerExMa(MaSafetyGridworld):
         rows = jnp.arange(h, dtype=jnp.int32)[:, None]
         cols = jnp.arange(w, dtype=jnp.int32)[None, :]
 
-        # --- acting agent's move (mode 0: absolute actions) -----------------
-        delta = jnp.asarray(ACTION_DELTAS_MO)[jnp.clip(action, 0, 9)]
+        # --- direction modalities (``firemaker_ex_ma.py:470-472``,
+        # ``safety_game_ma.py:650-766``): the observation facing updates
+        # BEFORE the move; dict-action ``*_direction`` entries override the
+        # ``step`` entry as the proposed direction action.
+        adm = self.action_direction_mode
+        odm = self.observation_direction_mode
+        act_prop = obs_prop = action
+        if options is not None and "action_direction_override" in options:
+            ado = options["action_direction_override"][i]
+            act_prop = jnp.where(ado >= 0, ado, action)
+        if options is not None and "observation_direction_override" in options:
+            odo = options["observation_direction_override"][i]
+            obs_prop = jnp.where(odo >= 0, odo, action)
+        observation_direction = state.observation_direction
+        if odm != 0:
+            new_od = new_observation_direction(
+                obs_prop, observation_direction[i], adm, odm
+            )
+            observation_direction = observation_direction.at[i].set(
+                jnp.where(active, new_od, observation_direction[i])
+            )
+
+        # --- acting agent's move (relative under modes 1/2) -----------------
+        abs_action = absolute_move_action(action, state.action_direction[i], adm)
+        delta = jnp.asarray(ACTION_DELTAS_MO)[jnp.clip(abs_action, 0, 9)]
         occ = jnp.zeros((h, w), bool)
         for j in range(n):
             occ = occ | (
@@ -454,6 +498,16 @@ class FiremakerExMa(MaSafetyGridworld):
         )
         new_pos_i = jnp.where(active, new_pos_i, state.pos[i])
         pos = state.pos.at[i].set(new_pos_i)
+
+        # Action facing updates AFTER the move (``safety_game_ma.py:808``).
+        action_direction = state.action_direction
+        if adm != 0:
+            new_ad = new_action_direction(
+                act_prop, action_direction[i], adm
+            )
+            action_direction = action_direction.at[i].set(
+                jnp.where(active, new_ad, action_direction[i])
+            )
 
         reasons = reasons.at[i].set(
             jnp.where(
@@ -636,6 +690,8 @@ class FiremakerExMa(MaSafetyGridworld):
             ext_fires=ext_fires,
             is_at_workshop=is_at_workshop,
             visits=visits,
+            action_direction=action_direction,
+            observation_direction=observation_direction,
         )
         return state, rewards
 

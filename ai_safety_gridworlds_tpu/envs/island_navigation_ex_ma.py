@@ -304,6 +304,17 @@ class IslandNavigationExMa(MaSafetyGridworld):
         ]
         self.observation_radius = cfg["observation_radius"]
         self.observation_direction_mode = cfg["observation_direction_mode"]
+        # Continuous expression modalities (``island_navigation_ex_ma.py:970-979``).
+        self.continuous_action_ranges = {
+            "expression_smile": (-1, 1),
+            "expression_mouth_open": (-1, 1),
+            "expression_mouth_extending": (0, 1),
+            "expression_nose_wrinkling": (0, 1),
+            "expression_eyebrow_average_height": (-1, 1),
+            "expression_eyebrow_height_difference": (0, 1),
+            "expression_chin_height": (-1, 1),
+            "expression_head_tilt": (-1, 1),
+        }
         self.action_direction_mode = cfg["action_direction_mode"]
 
         art_rows = GAME_ART[level]
@@ -538,26 +549,37 @@ class IslandNavigationExMa(MaSafetyGridworld):
 
         # --- the acting agent's sprite update -------------------------------
         # Observation direction update happens before the move
-        # (``island_navigation_ex_ma.py:698-703``).
-        rel_dir = jnp.asarray(_REL_DIR)
+        # (``island_navigation_ex_ma.py:698-703``). Dict-action direction
+        # modalities override the ``step`` entry as the proposed direction
+        # action (``safety_game_ma.py:652-653,715-716``).
+        from ai_safety_gridworlds_tpu.core.actions import (
+            absolute_move_action,
+            new_action_direction,
+            new_observation_direction,
+        )
+
+        adm = self.action_direction_mode
+        odm = self.observation_direction_mode
+        act_prop = obs_prop = action
+        if options is not None and "action_direction_override" in options:
+            ado = options["action_direction_override"][i]
+            act_prop = jnp.where(ado >= 0, ado, action)
+        if options is not None and "observation_direction_override" in options:
+            odo = options["observation_direction_override"][i]
+            obs_prop = jnp.where(odo >= 0, odo, action)
+
         obs_dir = state.observation_direction
-        if self.observation_direction_mode == 1:
-            new_obs_dir = rel_dir[jnp.clip(action, 0, 9), obs_dir[i]]
+        if odm != 0:
+            new_obs_dir = new_observation_direction(
+                obs_prop, obs_dir[i], adm, odm
+            )
             obs_dir = obs_dir.at[i].set(
                 jnp.where(is_quit | already_dead, obs_dir[i], new_obs_dir)
             )
 
-        # Absolute action via the action direction (mode 1: relative).
+        # Absolute action via the action direction (modes 1/2: relative).
         act_dir = state.action_direction
-        if self.action_direction_mode == 0:
-            abs_action = action
-        else:
-            new_act_dir = rel_dir[jnp.clip(action, 0, 9), act_dir[i]]
-            abs_action = jnp.where(
-                is_noop | is_quit,
-                action,
-                jnp.asarray(_DIR_TO_ACTION)[new_act_dir],
-            )
+        abs_action = absolute_move_action(action, act_dir[i], adm)
 
         delta = jnp.asarray(ACTION_DELTAS_MO)[jnp.clip(abs_action, 0, 9)]
         # Blocked by walls and OTHER agents' current positions
@@ -578,12 +600,12 @@ class IslandNavigationExMa(MaSafetyGridworld):
         new_pos_i = jnp.where(active, new_pos_i, state.pos[i])
         pos = state.pos.at[i].set(new_pos_i)
 
-        if self.action_direction_mode != 0:
+        if adm != 0:
             act_dir = act_dir.at[i].set(
                 jnp.where(
-                    is_quit | already_dead, act_dir[i], rel_dir[
-                        jnp.clip(action, 0, 9), act_dir[i]
-                    ]
+                    is_quit | already_dead,
+                    act_dir[i],
+                    new_action_direction(act_prop, act_dir[i], adm),
                 )
             )
 

@@ -345,8 +345,10 @@ class MultiDiscreteGridworldsActionSpace(MultiDiscrete):
     def __init__(self, env):
         self._env = env
         action_spec = env._env.action_spec()
-        self.min_action = int(action_spec.minimum)
-        self.max_action = int(action_spec.maximum)
+        if isinstance(action_spec, list):  # MoMa [discrete, continuous]
+            action_spec = action_spec[0]
+        self.min_action = int(np.asarray(action_spec.minimum).reshape(-1)[0])
+        self.max_action = int(np.asarray(action_spec.maximum).reshape(-1)[0])
         self.n = (self.max_action - self.min_action) + 1
         if gym_v26:
             super().__init__(
@@ -374,8 +376,10 @@ class DiscreteGridworldsActionSpace(Discrete):
     def __init__(self, env):
         self._env = env
         action_spec = env._env.action_spec()
-        self.min_action = int(action_spec.minimum)
-        self.max_action = int(action_spec.maximum)
+        if isinstance(action_spec, list):  # MoMa [discrete, continuous]
+            action_spec = action_spec[0]
+        self.min_action = int(np.asarray(action_spec.minimum).reshape(-1)[0])
+        self.max_action = int(np.asarray(action_spec.maximum).reshape(-1)[0])
         n = (self.max_action - self.min_action) + 1
         super().__init__(n=n, start=self.min_action)
 

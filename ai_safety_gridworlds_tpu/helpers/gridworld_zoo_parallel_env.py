@@ -100,11 +100,14 @@ class GridworldZooParallelEnv(ParallelEnv):
         self._viewer = None
 
         spec = self._env.action_spec()
+        if isinstance(spec, list):  # [discrete, continuous] for MoMa envs
+            spec = spec[0]
+        # The first discrete dimension is the ``step`` modality
+        # (``gridworld_zoo_parallel_env.py:805-806``).
+        step_min = int(np.asarray(spec.minimum).reshape(-1)[0])
+        step_max = int(np.asarray(spec.maximum).reshape(-1)[0])
         self._action_spaces = {
-            a: Discrete(
-                n=int(spec.maximum) - int(spec.minimum) + 1,
-                start=int(spec.minimum),
-            )
+            a: Discrete(n=step_max - step_min + 1, start=step_min)
             for a in self.possible_agents
         }
         obs_shape = self._agent_board_shape()

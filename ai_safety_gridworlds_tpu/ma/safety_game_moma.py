@@ -117,9 +117,13 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
 
     def _normalize_actions(self, agents_actions) -> dict:
         """Numeric actions become {"step": a} (``safety_game_ma.py:412-422``).
-        Continuous attribute modalities (e.g. firemaker's ``expression_*``
+        Direction modalities (``action_direction``/``observation_direction``,
+        ``pycolab_interface_ma.py:192-207``) are kept as action entries;
+        continuous attribute modalities (e.g. firemaker's ``expression_*``
         dims, ``firemaker_ex_ma.py:830-839``) are captured into the agents'
-        observable attributes."""
+        observable attributes. Unknown modalities raise, mirroring the
+        reference action-size check (``pycolab_interface_ma.py:202-207``)."""
+        continuous = getattr(self._game, "continuous_action_ranges", {})
         out = {}
         for agent, action in agents_actions.items():
             if isinstance(action, dict):
@@ -128,6 +132,13 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                         "Multi-modal actions must contain a 'step' entry"
                     )
                 for key, value in action.items():
+                    if key in ("step", "action_direction",
+                               "observation_direction"):
+                        continue
+                    if key not in continuous:
+                        raise RuntimeError(
+                            f"Unknown action modality {key!r}"
+                        )
                     if key in self._observable_attribute_categories:
                         self._observable_attributes.setdefault(key, {})[
                             agent
@@ -136,6 +147,27 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             else:
                 out[agent] = {"step": int(np.asarray(action).item())}
         return out
+
+    def _direction_overrides(self, agents_actions) -> dict:
+        """Per-agent direction-modality override arrays (−1 = absent): the
+        ``action_direction``/``observation_direction`` action-dict entries
+        steer the facing update instead of the ``step`` entry
+        (``safety_game_ma.py:652-653,715-716``)."""
+        n = self._game.n_agents
+        ado = np.full((n,), -1, np.int32)
+        odo = np.full((n,), -1, np.int32)
+        for agent, action in agents_actions.items():
+            i = self._agent_index(agent)
+            if "action_direction" in action:
+                ado[i] = int(np.asarray(action["action_direction"]).item())
+            if "observation_direction" in action:
+                odo[i] = int(
+                    np.asarray(action["observation_direction"]).item()
+                )
+        return {
+            "action_direction_override": ado,
+            "observation_direction_override": odo,
+        }
 
     # ----------------------------------------- observable agent attributes
 
@@ -186,15 +218,35 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
     # ----------------------------------------------------------------- api
 
     def action_spec(self):
-        # MA envs return [discrete, continuous] spec lists when continuous
-        # modalities exist; plain discrete otherwise.
-        return BoundedArraySpec(
-            shape=(1,),
+        """Multi-modal MA action spec (``pycolab_interface_ma.py:298-380``):
+        a (3,) discrete spec for the ``step`` / ``action_direction`` /
+        ``observation_direction`` modalities, plus a float32 spec for any
+        continuous modalities (e.g. expression dims) as a
+        ``[discrete, continuous]`` list."""
+        game = self._game
+        # direction_set = DEFAULT_ACTION_SET + [NOOP] upstream
+        # (``island_navigation_ex_ma.py:947``): ids 0..4.
+        dir_lo, dir_hi = getattr(game, "direction_action_range", (0, 4))
+        discrete = BoundedArraySpec(
+            shape=(3,),
             dtype="int32",
-            minimum=self._game.action_min,
-            maximum=self._game.action_max,
+            minimum=[game.action_min, dir_lo, dir_lo],
+            maximum=[game.action_max, dir_hi, dir_hi],
             name="discrete",
         )
+        continuous = getattr(game, "continuous_action_ranges", None)
+        if continuous:
+            discrete = [
+                discrete,
+                BoundedArraySpec(
+                    shape=(len(continuous),),
+                    dtype="float32",
+                    minimum=[lo for lo, _ in continuous.values()],
+                    maximum=[hi for _, hi in continuous.values()],
+                    name="continuous",
+                ),
+            ]
+        return discrete
 
     def reset(self, *args, **kwargs) -> TimeStep:
         timestep = super().reset(*args, **kwargs)
@@ -240,6 +292,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         actions_arr = np.full((self._game.n_agents,), -1, np.int32)
         for agent, action in agents_actions.items():
             actions_arr[self._agent_index(agent)] = action["step"]
+        dir_overrides = self._direction_overrides(agents_actions)
 
         if hasattr(self._game, "host_substep"):
             # Full host-mirror sub-stepping (e.g. aintelope_savanna): the
@@ -256,7 +309,8 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                 if action < 0:
                     continue
                 state, delta = self._game.host_substep(
-                    state, agent_idx, action, self._np_random
+                    state, agent_idx, action, self._np_random,
+                    overrides=dir_overrides,
                 )
                 rewards = rewards + np.asarray(delta, np.float32)
             if not hasattr(self, "_jit_finalize"):
@@ -284,9 +338,13 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                 sub_options = {
                     k: jnp.asarray(v)
                     for k, v in self._game.host_substep_options(
-                        state, agent_idx, action, self._np_random
+                        state, agent_idx, action, self._np_random,
+                        overrides=dir_overrides,
                     ).items()
                 }
+                sub_options.update(
+                    {k: jnp.asarray(v) for k, v in dir_overrides.items()}
+                )
                 state, delta = self._jit_substep(
                     state,
                     jnp.int32(agent_idx),
@@ -303,6 +361,9 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             options = {
                 "agent_order": jnp.asarray(order),
             }
+            options.update(
+                {k: jnp.asarray(v) for k, v in dir_overrides.items()}
+            )
             options.update(
                 {
                     k: jnp.asarray(v)

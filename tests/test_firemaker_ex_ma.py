@@ -152,6 +152,98 @@ def test_lockstep_no_shuffle():
     run_lockstep(ref, ours, seed=72)
 
 
+def _ref_sprites(ref):
+    for attr in ("_current_game", "current_game", "_game"):
+        g = getattr(ref, attr, None)
+        if g is not None and hasattr(g, "_sprites_and_drapes"):
+            return {
+                c: s
+                for c, s in g._sprites_and_drapes.items()
+                if hasattr(s, "position")
+            }
+    raise AttributeError("reference game not found")
+
+
+def test_lockstep_dict_actions_with_direction_modalities():
+    """Dict actions carrying ``action_direction`` / ``observation_direction``
+    / expression entries agree with the reference under relative direction
+    modes (``pycolab_interface_ma.py:192-207``, ``safety_game_ma.py:650-766``,
+    ``firemaker_ex_ma.py:830-839``)."""
+    ref, ours = make_pair(
+        action_direction_mode=1, observation_direction_mode=1
+    )
+    agents = ours.agent_names
+    rng = np.random.RandomState(77)
+    ref_ts = ref.reset()
+    our_ts = ours.reset()
+    for i in range(120):
+        types = ref_ts.step_type
+        actions = {}
+        for a in agents:
+            st = types[a] if isinstance(types, dict) else types
+            if int(st) in (int(StepType.LAST), int(StepType.DEAD)):
+                continue
+            act = {"step": int(rng.randint(0, 5))}
+            if rng.rand() < 0.4:
+                act["action_direction"] = int(rng.randint(0, 5))
+            if rng.rand() < 0.4:
+                act["observation_direction"] = int(rng.randint(0, 5))
+            if rng.rand() < 0.3:
+                act["expression_smile"] = float(rng.rand())
+            actions[a] = act
+        if not actions:
+            ref_ts = ref.reset()
+            our_ts = ours.reset()
+            continue
+
+        ref_gen_state = ref.environment_data["np_random"].bit_generator.state
+        ref_ts = ref.step({a: dict(v) for a, v in actions.items()})
+        ours._np_random.bit_generator.state = ref_gen_state
+        our_ts = ours.step({a: dict(v) for a, v in actions.items()})
+
+        np.testing.assert_array_equal(
+            ref_ts.observation["board"],
+            our_ts.observation["board"],
+            err_msg=f"step {i}",
+        )
+        for a in ref_ts.reward:
+            np.testing.assert_allclose(
+                np.asarray(ref_ts.reward[a], dtype=np.float64),
+                np.asarray(our_ts.reward[a], dtype=np.float64),
+                err_msg=f"step {i} agent {a}",
+            )
+        sprites = _ref_sprites(ref)
+        for idx, a in enumerate(agents):
+            assert int(sprites[a].observation_direction) == int(
+                np.asarray(ours._state.observation_direction[idx])
+            ), (i, a, "observation_direction")
+            assert int(sprites[a].action_direction) == int(
+                np.asarray(ours._state.action_direction[idx])
+            ), (i, a, "action_direction")
+
+
+def test_unknown_action_modality_raises():
+    _, ours = make_pair()
+    ours.reset()
+    with pytest.raises(RuntimeError):
+        ours.step({"1": {"step": 1, "bogus_modality": 3}})
+
+
+def test_multimodal_action_spec():
+    """MA action spec mirrors the reference's [discrete(3,), continuous]
+    structure (``pycolab_interface_ma.py:298-380``)."""
+    _, ours = make_pair()
+    spec = ours.action_spec()
+    assert isinstance(spec, list) and len(spec) == 2
+    discrete, continuous = spec
+    assert discrete.name == "discrete" and discrete.shape == (3,)
+    assert discrete.dtype == "int32"
+    assert list(np.asarray(discrete.minimum)) == [0, 0, 0]
+    assert list(np.asarray(discrete.maximum)) == [4, 4, 4]
+    assert continuous.name == "continuous" and continuous.shape == (8,)
+    assert continuous.dtype == "float32"
+
+
 def test_supervisor_perspective_is_whole_map():
     ref, ours = make_pair()
     our_ts = ours.reset()
