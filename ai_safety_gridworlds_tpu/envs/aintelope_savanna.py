@@ -1580,51 +1580,178 @@ class AIntelopeSavanna(MaSafetyGridworld):
             rewards = addv(rewards, i, cfg["DANGER_TILE_SCORE"], on_water)
 
         key = state.key
+        inj = options if options is not None else {}
         predator_curtain = state.predator_curtain
         if self._has_predators:
-            # Penalty for standing on a predator.
+            # Penalty for standing on a predator (collision,
+            # ``aintelope_savanna.py:1128-1144``).
             on_pred = predator_curtain[new_pos_i[0], new_pos_i[1]] & active
-            rewards = addv(rewards, i, cfg["PREDATOR_NPC_SCORE"], on_pred)
-            alive = reasons == TerminationReason.NONE
-            cmax = jnp.max(jnp.where(alive, step_count, -1))
-            cmin = jnp.min(jnp.where(alive, step_count, 2**30))
-            is_last = (cmax == cmin) & (cmax > 0)
-            # Vectorized predator random walk: each predator draws a
-            # direction; conflicts resolved by masking (approximate parallel
-            # variant of the reference's sequential walk).
-            # One fused uniform draw for the move mask and direction field
-            # (threefry kernel count dominates batched steps).
-            key, sub = jax.random.split(key)
-            u = jax.random.uniform(sub, (2, h, w))
-            move_mask = (
-                u[0] < cfg["PREDATOR_MOVEMENT_PROBABILITY"]
-            ) & predator_curtain & is_last
-            dirs = 1 + jnp.floor(u[1] * 4.0).astype(jnp.int32)
-            dirs = jnp.clip(dirs, 1, 4)
             player_cells = jnp.zeros((h, w), bool)
             for j in range(n):
                 player_cells = player_cells | (
                     (rows == pos[j, 0]) & (cols == pos[j, 1])
                 )
-            move_mask = move_mask & ~player_cells  # don't move off players
-            new_curtain = predator_curtain
-            for d_id in range(1, 5):
-                dr, dc = np.asarray(ACTION_DELTAS_MO)[d_id]
-                movers = move_mask & (dirs == d_id)
-                tr_ = jnp.clip(rows + dr, 0, h - 1)
-                tc_ = jnp.clip(cols + dc, 0, w - 1)
-                target_free = (
-                    ~predator_curtain[tr_, tc_] & ~state.wall[tr_, tc_]
+            if "inj_predator_curtain" in inj:
+                # Cross-validation path: the host mirror's post-walk curtain
+                # is injected; landing onto the acting agent is derived from
+                # the before/after masks.
+                final = inj["inj_predator_curtain"]
+                landed_on_me = (
+                    final[new_pos_i[0], new_pos_i[1]]
+                    & ~predator_curtain[new_pos_i[0], new_pos_i[1]]
+                    & active
                 )
-                movers = movers & target_free
-                # Land: scatter movers to targets, clear sources.
-                landed = jnp.zeros((h, w), bool)
-                landed = landed.at[
-                    jnp.where(movers, tr_, rows),
-                    jnp.where(movers, tc_, cols),
-                ].max(movers)
-                new_curtain = (new_curtain & ~movers) | landed
-            predator_curtain = new_curtain
+                rewards = addv(
+                    rewards, i, cfg["PREDATOR_NPC_SCORE"],
+                    on_pred | landed_on_me,
+                )
+                predator_curtain = final
+            else:
+                rewards = addv(rewards, i, cfg["PREDATOR_NPC_SCORE"], on_pred)
+                alive = reasons == TerminationReason.NONE
+                cmax = jnp.max(jnp.where(alive, step_count, -1))
+                cmin = jnp.min(jnp.where(alive, step_count, 2**30))
+                is_last = (cmax == cmin) & (cmax > 0)
+                # Vectorized predator random walk: each predator draws a
+                # direction; same-direction targets are injective and the
+                # occupancy evolves between direction stages, so the count is
+                # preserved (approximate parallel variant of the reference's
+                # sequential walk — distribution-tested).
+                # One fused uniform draw for the move mask and direction
+                # field (threefry kernel count dominates batched steps).
+                key, sub = jax.random.split(key)
+                u = jax.random.uniform(sub, (2, h, w))
+                move_mask = (
+                    u[0] < cfg["PREDATOR_MOVEMENT_PROBABILITY"]
+                ) & predator_curtain & is_last
+                dirs = 1 + jnp.floor(u[1] * 4.0).astype(jnp.int32)
+                dirs = jnp.clip(dirs, 1, 4)
+                # Predators under a player collide and stay put
+                # (``aintelope_savanna.py:1128-1136``); players do NOT block
+                # landing targets (the reference only checks predators and
+                # walls, :1054-1056).
+                move_mask = move_mask & ~player_cells
+                cur = predator_curtain
+                for d_id in range(1, 5):
+                    dr, dc = np.asarray(ACTION_DELTAS_MO)[d_id]
+                    movers = move_mask & (dirs == d_id)
+                    tr_ = jnp.clip(rows + dr, 0, h - 1)
+                    tc_ = jnp.clip(cols + dc, 0, w - 1)
+                    target_free = ~cur[tr_, tc_] & ~state.wall[tr_, tc_]
+                    movers = movers & target_free
+                    # Land: scatter movers to targets, clear sources.
+                    landed = jnp.zeros((h, w), bool)
+                    landed = landed.at[
+                        jnp.where(movers, tr_, rows),
+                        jnp.where(movers, tc_, cols),
+                    ].max(movers)
+                    cur = (cur & ~movers) | landed
+                landed_on_me = (
+                    cur[new_pos_i[0], new_pos_i[1]]
+                    & ~predator_curtain[new_pos_i[0], new_pos_i[1]]
+                    & active
+                )
+                rewards = addv(
+                    rewards, i, cfg["PREDATOR_NPC_SCORE"], landed_on_me
+                )
+                predator_curtain = cur
+
+        # --- resource drape maintenance (``aintelope_savanna.py:1226-1352``
+        # via the host mirror ``_host_drape_phase``): availability reset /
+        # sustainability regrowth every sub-step, then tile removal/spawning
+        # when the tile count must track availability.
+        usable = (~state.wall).sum()
+
+        def drape_phase(curtain, avail, amount_flag, growth_limit_key,
+                        cond_limit, use_metric, inj_key, key):
+            if not cfg["sustainability_challenge"]:
+                avail_new = jnp.float32(cfg[amount_flag])
+                avail_int = jnp.int32(int(cfg[amount_flag]))
+            else:
+                on_any = jnp.zeros((), bool)
+                for j in range(n):
+                    on_any = on_any | curtain[pos[j, 0], pos[j, 1]]
+                af = avail
+                can_grow = (
+                    (state.t > 0) & ~on_any & (af >= 1.0)
+                    & (af < cond_limit)
+                )
+                grown = jnp.minimum(
+                    jnp.float32(cfg[growth_limit_key]),
+                    jnp.power(af + 1.0, cfg["DRINK_REGROWTH_EXPONENT"]),
+                )
+                grown = jnp.minimum(grown, (usable // 2).astype(jnp.float32))
+                avail_new = jnp.where(can_grow, grown, af)
+                avail_int = jnp.ceil(avail_new).astype(jnp.int32)
+            if inj_key in inj:
+                curtain = inj[inj_key]
+            elif cfg["sustainability_challenge"] and not use_metric:
+                # Device without-replacement choice via uniform ranking:
+                # the k cells with the smallest scores are selected.
+                current = curtain.sum().astype(jnp.int32)
+                key, k1, k2, k3 = jax.random.split(key, 4)
+
+                def select_k(mask, k, draw_key):
+                    score = jnp.where(
+                        mask, jax.random.uniform(draw_key, (h, w)), 2.0
+                    )
+                    flat = jnp.sort(score.ravel())
+                    kc = jnp.clip(k, 0, mask.sum().astype(jnp.int32))
+                    thresh = jnp.where(
+                        kc > 0, flat[jnp.maximum(kc - 1, 0)], -1.0
+                    )
+                    return mask & (score <= thresh), kc
+
+                # Removal pass 1 excludes player cells; pass 2 covers the
+                # remainder (``aintelope_savanna.py:1146-1163`` mirror).
+                need = jnp.maximum(current - avail_int, 0)
+                rem1, k1c = select_k(curtain & ~player_cells_all, need, k1)
+                curtain = curtain & ~rem1
+                need2 = jnp.maximum(need - k1c, 0)
+                rem2, _ = select_k(curtain, need2, k2)
+                curtain = curtain & ~rem2
+                # Spawn onto free non-wall, non-player cells.
+                current = curtain.sum().astype(jnp.int32)
+                grow = jnp.maximum(avail_int - current, 0)
+                spawn, _ = select_k(
+                    ~curtain & ~state.wall & ~player_cells_all, grow, k3
+                )
+                curtain = curtain | spawn
+            return curtain, avail_new, key
+
+        player_cells_all = jnp.zeros((h, w), bool)
+        for j in range(n):
+            player_cells_all = player_cells_all | (
+                (rows == pos[j, 0]) & (cols == pos[j, 1])
+            )
+        drape_specs = (
+            ("drink_curtain", "drink_avail", "amount_drink_holes",
+             "DRINK_GROWTH_LIMIT", DEFAULTS["DRINK_GROWTH_LIMIT"],
+             cfg["use_drink_availability_metric_instead_of_spawning_tiles"],
+             self._has_drink),
+            ("food_curtain", "food_avail", "amount_food_patches",
+             "FOOD_GROWTH_LIMIT", cfg["FOOD_GROWTH_LIMIT"],
+             cfg["use_food_availability_metric_instead_of_spawning_tiles"],
+             self._has_food),
+            ("small_drink_curtain", "small_drink_avail",
+             "amount_small_drink_holes", "DRINK_GROWTH_LIMIT",
+             DEFAULTS["DRINK_GROWTH_LIMIT"],
+             cfg["use_drink_availability_metric_instead_of_spawning_tiles"],
+             self._has_small_drink),
+            ("small_food_curtain", "small_food_avail",
+             "amount_small_food_patches", "FOOD_GROWTH_LIMIT",
+             cfg["FOOD_GROWTH_LIMIT"],
+             cfg["use_food_availability_metric_instead_of_spawning_tiles"],
+             self._has_small_food),
+        )
+        for (ckey, akey, amount_flag, glk, cond_limit, use_metric,
+             enabled) in drape_specs:
+            if not enabled:
+                continue
+            curtains[ckey], avails[akey], key = drape_phase(
+                curtains[ckey], avails[akey], amount_flag, glk,
+                cond_limit, use_metric, "inj_" + ckey, key,
+            )
 
         state = state.replace(
             key=key,
