@@ -361,7 +361,14 @@ def ma_episode_step(env: MaSafetyGridworld, ep: MaEpisodeState, actions):
         return new, MaEpisodeOut(step=out, final_returns=env.zero_rewards())
 
     def do_step(ep):
-        env_state, out = env.step(ep.env_state, actions)
+        # Dead agents are excluded from the actions dict upstream
+        # (``pycolab_interface_ma.py:183``): no sub-step runs for them, so
+        # drapes must not advance on their slots either.
+        alive = (
+            ep.env_state.termination_reasons == TerminationReason.NONE
+        )
+        gated = jnp.where(alive, jnp.asarray(actions, jnp.int32), -1)
+        env_state, out = env.step(ep.env_state, gated)
         returns = ep.episode_returns + out.rewards
         new = MaEpisodeState(env_state=env_state, episode_returns=returns)
         return new, MaEpisodeOut(
