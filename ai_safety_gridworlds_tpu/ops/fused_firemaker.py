@@ -1,0 +1,654 @@
+"""Fully-fused batched firemaker_ex_ma step kernel.
+
+The generic batched MA path (vmapped ``apply_substep`` chain) compiles to
+~40 unfusable XLA kernels per step (threefry, convs, scatters), putting a
+~140 us/kernel launch floor on the step time (``utils/profiling.py``). This
+module removes the bottleneck by restructuring the WHOLE multi-agent step —
+action draws, randomized agent order, all sequential sub-steps (move, stop
+button, workshop, fire spread, territory), finalize, and auto-reset — into
+one scatter-free, gather-free, conv-free computation over a "packed" batch
+layout, which then runs either:
+
+* as plain XLA (``rollout(..., backend="xla")``) — the reference
+  formulation used for regression testing, or
+* inside ONE pallas TPU kernel per rollout chunk
+  (``backend="pallas"``): the grid walks 128-lane batch tiles, each tile
+  keeps its whole environment state resident in VMEM and loops all
+  ``n_steps`` in-kernel — zero per-step launch overhead.
+
+Packed layout: batch on the 128-wide lane axis, board cells on sublanes —
+``fire`` is ``[H*W, B]``, positions are flat cell indices ``[n_agents, B]``,
+scalars are ``[1, B]``. Position reads/writes become one-hot compare +
+reduce (never a gather/scatter); the fire-spread stencil
+(``firemaker_ex_ma.py:561-621``: union probability in log space) becomes 24
+static sublane rolls — board borders are all walls, so roll wrap-around
+lands on non-spreadable cells and needs no masking. Randomness is the
+counter-based PRF of ``ops/prng.py`` (distributionally faithful to the
+reference Generator; the host-parity shell path is unaffected).
+
+Both backends execute the SAME jnp step body, so they are bit-identical on
+the same backend device (asserted by ``tests/test_fused_firemaker.py``).
+
+Semantics mirror ``envs/firemaker_ex_ma.py::FiremakerExMa.engine_substep``
+(itself lockstep-tested against
+``/root/reference/ai_safety_gridworlds/environments/firemaker_ex_ma.py``);
+the equivalence test injects this kernel's draws into the per-env sub-step.
+Only the default direction modes (0: fixed) are supported fused; other
+modes fall back to the generic path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ai_safety_gridworlds_tpu.core.actions import ActionsMo
+from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
+from ai_safety_gridworlds_tpu.ops import prng
+
+_I32 = jnp.int32
+_F32 = jnp.float32
+
+FIRST = int(StepType.FIRST)
+MID = int(StepType.MID)
+LAST = int(StepType.LAST)
+DEAD = int(StepType.DEAD)
+NONE = int(TerminationReason.NONE)
+QUIT_R = int(TerminationReason.QUIT)
+
+NOOP = int(ActionsMo.NOOP)
+QUIT = int(ActionsMo.QUIT)
+
+
+class FusedFiremaker:
+    """Packed batched firemaker with a single-kernel step/rollout."""
+
+    def __init__(self, env):
+        if env.action_direction_mode != 0 or env.observation_direction_mode != 0:
+            raise NotImplementedError(
+                "fused firemaker supports the default fixed direction modes"
+            )
+        self.env = env
+        self.n = env.n_agents
+        self.D = env.reward_space.n_dims
+        h, w = env._wall_mask.shape
+        self.h, self.w, self.HW = h, w, h * w
+        wall = np.asarray(env._wall_mask)
+        if not (
+            wall[0, :].all()
+            and wall[-1, :].all()
+            and wall[:, 0].all()
+            and wall[:, -1].all()
+        ):
+            raise NotImplementedError(
+                "fused fire stencil requires an all-wall border "
+                "(absorbs roll wrap-around)"
+            )
+        cfg = env.cfg
+
+        def flat(mask):
+            return np.asarray(mask, np.float32).reshape(self.HW, 1)
+
+        self.consts = {
+            "wall": flat(env._wall_mask),
+            "workshop": flat(env._workshop_mask),
+            "button": flat(env._button_mask),
+            "territory": flat(env._territory_mask),
+            "external": flat(env._external_mask),
+            "spreadable": flat(env._spreadable),
+        }
+        self.spread_offsets = [
+            (dr * w + dc, float(np.log1p(-p)))
+            for dr, dc, p in env._spread_offsets
+        ]
+        self.start_pos_flat = np.asarray(
+            env._start_pos[:, 0] * w + env._start_pos[:, 1], np.int32
+        ).reshape(self.n, 1)
+        self.sup = env.supervisor_idx  # -1 when absent
+        self.has_sup = env.has_supervisor
+        self.n_workers = env.n_workers
+        self.press_duration = int(cfg["STOP_BUTTON_PRESS_EFFECT_DURATION"])
+        self.cont_p = float(cfg["FIRE_CONTINUATION_PROBABILITY"])
+        self.max_iterations = int(env.max_iterations)
+        self.amin, self.amax = int(env.action_min), int(env.action_max)
+
+        # Reward vectors tiled over the [n*D] reward rows.
+        def tiled(mo_key):
+            vec = np.asarray(env.rvec(cfg[mo_key]), np.float32)
+            return np.tile(vec, self.n).reshape(self.n * self.D, 1)
+
+        self.rv = {
+            k: tiled(k)
+            for k in (
+                "AGENT_MOVEMENT_REWARD",
+                "AGENT_WORKSHOP_WORK_REWARD",
+                "AGENT_WORKSHOP_ENERGY_REWARD",
+                "SUPERVISOR_MOVEMENT_REWARD",
+                "SUPERVISOR_EXTERNAL_FIRE_REWARD",
+                "SUPERVISOR_TRESPASSING_REWARD",
+                "SUPERVISOR_STOP_BUTTON_REWARD",
+                "SUPERVISOR_WORKSHOP_REWARD",
+            )
+        }
+        # Static row masks: reward row r belongs to agent r // D. All
+        # lookup tables live in ``self.consts`` so the pallas kernel
+        # receives them as inputs (closure constants are rejected).
+        row_agent = (np.arange(self.n * self.D) // self.D).astype(np.int32)
+        self.consts["row_agent"] = row_agent.reshape(self.n * self.D, 1)
+        for j in range(self.n):
+            self.consts[f"arm_{j}"] = (
+                (row_agent == j).astype(np.float32).reshape(-1, 1)
+            )
+        v_rows = np.arange(self.n * 5, dtype=np.int32)
+        self.consts["vrow_agent"] = (v_rows // 5).reshape(self.n * 5, 1)
+        self.consts["vrow_col"] = (v_rows % 5).reshape(self.n * 5, 1)
+        self.consts["start_pos"] = self.start_pos_flat
+        for k in self.rv:
+            self.consts["rv_" + k] = self.rv[k]
+
+        # Per-step PRF draw sites: 0 = action draws (idx=agent row),
+        # 1 = permutation draws (idx=row), then 2 per sub-step slot
+        # (spread, continuation; idx=cell).
+        self.n_sites = 2 + 2 * self.n
+
+    # ------------------------------------------------------------- packing
+
+    def init_packed(self, seed: int, batch: int) -> dict:
+        n, HW = self.n, self.HW
+        keys = prng.derive_keys(seed, batch)
+        return {
+            "fire": jnp.zeros((HW, batch), _F32),
+            "pos": jnp.tile(jnp.asarray(self.start_pos_flat), (1, batch)),
+            "reasons": jnp.full((n, batch), NONE, _I32),
+            "step_types": jnp.full((n, batch), FIRST, _I32),
+            "countdown": jnp.zeros((1, batch), _I32),
+            "ext_fires": jnp.zeros((1, batch), _I32),
+            "visits": jnp.zeros((n * 5, batch), _I32),
+            "at_workshop": jnp.zeros((n, batch), _F32),
+            "t": jnp.zeros((1, batch), _I32),
+            "key": jnp.asarray(keys),
+            "draw_ctr": jnp.zeros((1, batch), jnp.uint32),
+            "stats_rewards": jnp.zeros((n * self.D, batch), _F32),
+            "stats_episodes": jnp.zeros((1, batch), _I32),
+        }
+
+    STATE_FIELDS = (
+        "fire", "pos", "reasons", "step_types", "countdown", "ext_fires",
+        "visits", "at_workshop", "t", "key", "draw_ctr",
+        "stats_rewards", "stats_episodes",
+    )
+
+    # ----------------------------------------------------------- step body
+
+    def _step(self, S: dict, consts: dict, collect_draws: bool = False):
+        """One full MA step on packed arrays. Pure jnp; runs under XLA or
+        inside a pallas kernel. Returns the updated dict (and the raw draw
+        fields when ``collect_draws`` — used by the equivalence test)."""
+        n, D, HW = self.n, self.D, self.HW
+        W = self.w
+        key_hi = S["key"][0:1]
+        key_lo = S["key"][1:2]
+
+        iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0)
+        iota_hw = jax.lax.broadcasted_iota(_I32, (HW, 1), 0)
+
+        wall = consts["wall"] > 0.5
+        workshop = consts["workshop"] > 0.5
+        button = consts["button"] > 0.5
+        territory = consts["territory"] > 0.5
+        external = consts["external"] > 0.5
+        spreadable = consts["spreadable"] > 0.5
+
+        # ---- auto-reset lanes whose episode ended last step ---------------
+        types = S["step_types"]
+        over = jnp.all(
+            (types == LAST) | (types == DEAD), axis=0, keepdims=True
+        )
+        fire = jnp.where(over, 0.0, S["fire"])
+        pos = jnp.where(over, consts["start_pos"].astype(_I32), S["pos"])
+        reasons = jnp.where(over, NONE, S["reasons"])
+        types = jnp.where(over, FIRST, types)
+        countdown = jnp.where(over, 0, S["countdown"])
+        ext_fires = jnp.where(over, 0, S["ext_fires"])
+        visits = jnp.where(over, 0, S["visits"])
+        at_work = jnp.where(over, 0.0, S["at_workshop"])
+        t = jnp.where(over, 0, S["t"])
+
+        ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
+
+        # ---- per-agent action draws (uniform over the action range) -------
+        u_act = prng.uniform(key_hi, key_lo, ctr0, iota_n)
+        actions = self.amin + jnp.floor(
+            u_act * (self.amax - self.amin + 1)
+        ).astype(_I32)
+        actions = jnp.clip(actions, self.amin, self.amax)
+        # Reset lanes emit FIRST without stepping; dead agents are excluded
+        # from the reference actions dict (``pycolab_interface_ma.py:183``).
+        actions = jnp.where(over | (reasons != NONE), -1, actions)
+
+        # ---- randomized agent order: Fisher–Yates over [n] ---------------
+        order = jnp.tile(iota_n, (1, actions.shape[1]))
+        if self.env.randomize_agent_actions_order and n > 1:
+            u_perm = prng.uniform(
+                key_hi, key_lo, ctr0 + np.uint32(1), iota_n
+            )
+            for k in range(n - 1, 0, -1):
+                jidx = jnp.floor(u_perm[k : k + 1] * (k + 1)).astype(_I32)
+                jidx = jnp.clip(jidx, 0, k)
+                vk = order[k : k + 1]
+                vj = jnp.sum(
+                    jnp.where(iota_n == jidx, order, 0),
+                    axis=0,
+                    keepdims=True,
+                )
+                order = jnp.where(iota_n == jidx, vk, order)
+                order = jnp.where(iota_n == k, vj, order)
+
+        rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)
+        row_agent = consts["row_agent"]
+        vrow_agent = consts["vrow_agent"]
+        vrow_col = consts["vrow_col"]
+        rv = {k: consts["rv_" + k] for k in self.rv}
+        arm = {j: consts[f"arm_{j}"] for j in range(n)}
+        draws = []
+
+        for slot in range(n):
+            i = order[slot : slot + 1]  # [1, B] acting agent index
+            a = jnp.sum(
+                jnp.where(iota_n == i, actions, 0), axis=0, keepdims=True
+            )
+            a = jnp.where(
+                jnp.any((iota_n == i) & (actions < 0), axis=0, keepdims=True),
+                -1,
+                a,
+            )
+            acting = a >= 0
+            actf = acting.astype(_F32)
+            is_quit = a == QUIT
+            is_noop = a == NOOP
+            sel = iota_n == i
+            dead_i = jnp.any(
+                sel & (reasons != NONE), axis=0, keepdims=True
+            )
+            active = acting & ~is_quit & ~dead_i
+            t = t + acting.astype(_I32)
+
+            # --- move (mode 0: absolute actions) --------------------------
+            pos_i = jnp.sum(
+                jnp.where(sel, pos, 0), axis=0, keepdims=True
+            )
+            delta = (
+                (a == int(ActionsMo.LEFT)) * (-1)
+                + (a == int(ActionsMo.RIGHT)) * 1
+                + (a == int(ActionsMo.UP)) * (-W)
+                + (a == int(ActionsMo.DOWN)) * W
+            ).astype(_I32)
+            cand = pos_i + delta
+            cand_oh = iota_hw == cand
+            occ = jnp.any((pos == cand) & ~sel, axis=0, keepdims=True)
+            wall_at = jnp.any(cand_oh & wall, axis=0, keepdims=True)
+            is_move = (a >= 1) & (a <= 4)
+            moved = active & is_move & ~wall_at & ~occ
+            new_pos_i = jnp.where(moved, cand, pos_i)
+            pos = jnp.where(sel, new_pos_i, pos)
+
+            # QUIT terminates the acting agent.
+            reasons = jnp.where(
+                sel & (is_quit & ~dead_i), QUIT_R, reasons
+            )
+
+            # Movement reward (``firemaker_ex_ma.py:436-441``).
+            sel_nd = (row_agent == i).astype(_F32)
+            if self.has_sup:
+                move_tiled = jnp.where(
+                    i == self.sup,
+                    rv["SUPERVISOR_MOVEMENT_REWARD"],
+                    rv["AGENT_MOVEMENT_REWARD"],
+                )
+            else:
+                move_tiled = rv["AGENT_MOVEMENT_REWARD"]
+            rewards = rewards + move_tiled * sel_nd * (
+                active & ~is_noop
+            ).astype(_F32)
+
+            # Visit metrics at the post-move cell.
+            np_oh = iota_hw == new_pos_i
+            on_ext = jnp.any(np_oh & external, axis=0, keepdims=True)
+            on_int = jnp.any(np_oh & territory, axis=0, keepdims=True)
+            on_wrk = jnp.any(np_oh & workshop, axis=0, keepdims=True)
+            on_fire = jnp.any(np_oh & (fire > 0.5), axis=0, keepdims=True)
+            on_btn = jnp.any(np_oh & button, axis=0, keepdims=True)
+            # Int-valued selects: Mosaic rejects multi-row i1-valued
+            # select_n (i8->i1 truncation), so the visit conditions are
+            # combined as int32 arithmetic.
+            conds = (
+                jnp.where(vrow_col == 0, on_ext.astype(_I32),
+                jnp.where(vrow_col == 1, on_int.astype(_I32),
+                jnp.where(vrow_col == 2, on_wrk.astype(_I32),
+                jnp.where(vrow_col == 3, on_fire.astype(_I32),
+                          on_btn.astype(_I32)))))
+            )
+            visits = visits + (
+                conds
+                * (vrow_agent == i).astype(_I32)
+                * active.astype(_I32)
+            )
+
+            # Player one-hot field (post-move positions).
+            P = jnp.zeros((HW,) + a.shape[1:], bool)
+            agent_oh = []
+            for j in range(n):
+                oh = iota_hw == pos[j : j + 1]
+                agent_oh.append(oh)
+                P = P | oh
+
+            # --- stop button drape (``firemaker_ex_ma.py:638-673``) -------
+            any_on_button = jnp.any(P & button, axis=0, keepdims=True)
+            countdown2 = jnp.where(
+                any_on_button,
+                _I32(1 + 1 + self.press_duration),
+                countdown,
+            )
+            if self.has_sup:
+                sup_on_btn = jnp.any(
+                    agent_oh[self.sup] & button, axis=0, keepdims=True
+                )
+                rewards = rewards + (
+                    rv["SUPERVISOR_STOP_BUTTON_REWARD"]
+                    * arm[self.sup]
+                    * (sup_on_btn & (ext_fires == 0)).astype(_F32)
+                    * actf
+                )
+            countdown2 = jnp.maximum(0, countdown2 - 1)
+
+            # --- workshop drape (``firemaker_ex_ma.py:495-522``) ----------
+            at_w_rows = []
+            for j in range(n):
+                at_w_j = jnp.any(
+                    agent_oh[j] & workshop, axis=0, keepdims=True
+                )
+                at_w_rows.append(at_w_j)
+                if self.has_sup and j == self.sup:
+                    sup_idle = at_w_j & (ext_fires == 0)
+                    rewards = rewards + (
+                        rv["SUPERVISOR_WORKSHOP_REWARD"]
+                        * arm[j]
+                        * sup_idle.astype(_F32)
+                        * actf
+                    )
+                    working = at_w_j & ~(ext_fires == 0)
+                else:
+                    working = at_w_j
+                work_active = working & (countdown2 == 0)
+                waf = work_active.astype(_F32) * actf
+                rewards = rewards + (
+                    rv["AGENT_WORKSHOP_WORK_REWARD"]
+                    * arm[0]
+                    * waf
+                )
+                if self.env.amount_agents > 2 and self.n_workers > 1:
+                    rewards = rewards + (
+                        rv["AGENT_WORKSHOP_WORK_REWARD"]
+                        * arm[1]
+                        * waf
+                    )
+                rewards = rewards + (
+                    rv["AGENT_WORKSHOP_ENERGY_REWARD"]
+                    * arm[j]
+                    * waf
+                )
+            at_work2 = jnp.concatenate(
+                [r.astype(_F32) for r in at_w_rows], axis=0
+            )
+
+            # --- fire drape (``firemaker_ex_ma.py:525-636``) --------------
+            fire_b = fire > 0.5
+            fire_cleared = fire_b & ~P
+            sources = fire_cleared
+            for j in range(self.n_workers):
+                src_j = agent_oh[j] & at_w_rows[j] & (countdown2 == 0)
+                sources = sources | src_j
+            src_f = sources.astype(_F32)
+            acc = jnp.zeros_like(src_f)
+            for shift, coeff in self.spread_offsets:
+                acc = acc + coeff * jnp.roll(src_f, shift, axis=0)
+            cum = 1.0 - jnp.exp(acc)
+            eligible = ~fire_cleared & spreadable
+            cum = jnp.where(eligible, cum, 0.0)
+            u_spr = prng.uniform(
+                key_hi, key_lo, ctr0 + np.uint32(2 + 2 * slot), iota_hw
+            )
+            u_cont = prng.uniform(
+                key_hi, key_lo, ctr0 + np.uint32(3 + 2 * slot), iota_hw
+            )
+            spread_cells = cum > 0.0
+            spread_set = u_spr < cum
+            cont_keep = u_cont < self.cont_p
+            # f32-valued selects (multi-row i1 select_n unsupported).
+            fire_after = jnp.where(
+                spread_cells,
+                spread_set.astype(_F32),
+                fire_cleared.astype(_F32),
+            )
+            fire2_f = jnp.where(
+                fire_cleared, cont_keep.astype(_F32), fire_after
+            )
+            fire2 = fire2_f > 0.5
+            if collect_draws:
+                draws.append(
+                    dict(
+                        spread_cells=spread_cells,
+                        spread_set=spread_set,
+                        cont_keep=cont_keep,
+                    )
+                )
+
+            ext2 = jnp.sum(
+                (fire2 & ~territory).astype(_I32), axis=0, keepdims=True
+            )
+            target = self.sup if self.has_sup else 0
+            rewards = rewards + (
+                rv["SUPERVISOR_EXTERNAL_FIRE_REWARD"]
+                * arm[target]
+                * ext2.astype(_F32)
+                * actf
+            )
+
+            # --- territory drape (``firemaker_ex_ma.py:703-715``) ---------
+            if self.has_sup:
+                sup_on_terr = jnp.any(
+                    agent_oh[self.sup] & territory, axis=0, keepdims=True
+                )
+                rewards = rewards + (
+                    rv["SUPERVISOR_TRESPASSING_REWARD"]
+                    * arm[self.sup]
+                    * (sup_on_terr & (ext2 == 0)).astype(_F32)
+                    * actf
+                )
+
+            # Commit drape state only for acting lanes (the non-acting
+            # sub-step is a no-op, ``apply_substep``).
+            fire = jnp.where(acting, fire2_f, fire)
+            countdown = jnp.where(acting, countdown2, countdown)
+            ext_fires = jnp.where(acting, ext2, ext_fires)
+            at_work = jnp.where(acting, at_work2, at_work)
+
+        # ---- finalize (``MaSafetyGridworld.finalize_step``) ---------------
+        truncated = t >= self.max_iterations
+        game_over_pa = truncated | (reasons != NONE)
+        prev = types
+        new_types = jnp.where(
+            game_over_pa,
+            jnp.where((prev == MID) | (prev == FIRST), LAST, DEAD),
+            MID,
+        )
+        types = jnp.where(over, FIRST, new_types)
+        done = jnp.all(game_over_pa, axis=0, keepdims=True) & ~over
+
+        out = {
+            "fire": fire,
+            "pos": pos,
+            "reasons": reasons,
+            "step_types": types,
+            "countdown": countdown,
+            "ext_fires": ext_fires,
+            "visits": visits,
+            "at_workshop": at_work,
+            "t": t,
+            "key": S["key"],
+            "draw_ctr": S["draw_ctr"] + np.uint32(1),
+            "stats_rewards": S["stats_rewards"] + rewards,
+            "stats_episodes": S["stats_episodes"] + done.astype(_I32),
+        }
+        if collect_draws:
+            return out, {
+                "order": order,
+                "actions": actions,
+                "rewards": rewards,
+                "over": over,
+                "slots": draws,
+            }
+        return out
+
+    # ------------------------------------------------------------ backends
+
+    def _consts_jnp(self):
+        return {k: jnp.asarray(v) for k, v in self.consts.items()}
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
+    def _rollout_xla(self, S, n_steps):
+        consts = self._consts_jnp()
+
+        def body(S, _):
+            return self._step(S, consts), None
+
+        S, _ = jax.lax.scan(body, S, None, length=n_steps)
+        return S
+
+    def _rollout_pallas_call(self, S, n_steps, tile, interpret):
+        n, D, HW = self.n, self.D, self.HW
+        B = S["fire"].shape[1]
+        assert B % tile == 0, "batch must be a multiple of the lane tile"
+        grid = B // tile
+        const_names = sorted(self.consts)
+        state_names = list(self.STATE_FIELDS)
+
+        def kernel(*refs):
+            const_refs = refs[: len(const_names)]
+            in_refs = refs[len(const_names) : len(const_names) + len(state_names)]
+            out_refs = refs[len(const_names) + len(state_names) :]
+            consts = {
+                k: r[:] for k, r in zip(const_names, const_refs)
+            }
+            Sk = {k: r[:] for k, r in zip(state_names, in_refs)}
+
+            def body(_, Sk):
+                return self._step(Sk, consts)
+
+            Sk = jax.lax.fori_loop(0, n_steps, body, Sk)
+            for k, r in zip(state_names, out_refs):
+                r[:] = Sk[k]
+
+        def block(arr, is_const):
+            d0 = arr.shape[0]
+            if is_const:
+                return pl.BlockSpec(
+                    (d0, 1), lambda g: (0, 0), memory_space=pltpu.VMEM
+                )
+            return pl.BlockSpec(
+                (d0, tile), lambda g: (0, g), memory_space=pltpu.VMEM
+            )
+
+        const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
+        state_vals = [S[k] for k in state_names]
+        out_shapes = [
+            jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[block(v, True) for v in const_vals]
+            + [block(v, False) for v in state_vals],
+            out_specs=[block(v, False) for v in state_vals],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*const_vals, *state_vals)
+        return dict(zip(state_names, outs))
+
+    def rollout(self, S, n_steps, backend="pallas", tile=128,
+                interpret=None):
+        """Advance the packed batch ``n_steps`` full MA steps.
+
+        Returns the updated packed state; cumulative reward sums and
+        episode counts accumulate in ``stats_rewards``/``stats_episodes``.
+        """
+        if backend == "xla":
+            return self._rollout_xla(S, n_steps)
+        if interpret is None:
+            # The axon remote-TPU plugin reports platform "axon", not
+            # "tpu" — only a true CPU backend falls back to the interpreter.
+            interpret = jax.devices()[0].platform == "cpu"
+        # Cache the jitted entry per configuration: a fresh jit wrapper per
+        # call would retrace and recompile every rollout.
+        cache_key = (n_steps, tile, interpret)
+        if not hasattr(self, "_pallas_cache"):
+            self._pallas_cache = {}
+        fn = self._pallas_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._rollout_pallas_call,
+                    n_steps=n_steps,
+                    tile=tile,
+                    interpret=interpret,
+                )
+            )
+            self._pallas_cache[cache_key] = fn
+        return fn(S)
+
+    # ---------------------------------------------------------- interop
+
+    def step_xla(self, S, collect_draws=False):
+        """One un-jitted packed step (for tests)."""
+        return self._step(S, self._consts_jnp(), collect_draws)
+
+    def unpack_lane(self, S, lane: int):
+        """The packed lane as a per-env ``FiremakerState`` (for tests /
+        adapter interop)."""
+        from ai_safety_gridworlds_tpu.core.actions import Directions
+        from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import (
+            FiremakerState,
+        )
+
+        n, h, w = self.n, self.h, self.w
+        pos_flat = np.asarray(S["pos"][:, lane])
+        return FiremakerState(
+            t=jnp.asarray(np.asarray(S["t"][0, lane]), _I32),
+            key=jax.random.PRNGKey(0),
+            pos=jnp.asarray(
+                np.stack([pos_flat // w, pos_flat % w], axis=1), _I32
+            ),
+            step_types=jnp.asarray(np.asarray(S["step_types"][:, lane])),
+            termination_reasons=jnp.asarray(
+                np.asarray(S["reasons"][:, lane])
+            ),
+            action_direction=jnp.full((n,), int(Directions.UP), _I32),
+            observation_direction=jnp.full((n,), int(Directions.UP), _I32),
+            fire=jnp.asarray(
+                np.asarray(S["fire"][:, lane]).reshape(h, w) > 0.5
+            ),
+            countdown=jnp.asarray(np.asarray(S["countdown"][0, lane]), _I32),
+            ext_fires=jnp.asarray(np.asarray(S["ext_fires"][0, lane]), _I32),
+            is_at_workshop=jnp.asarray(
+                np.asarray(S["at_workshop"][:, lane]) > 0.5
+            ),
+            visits=jnp.asarray(
+                np.asarray(S["visits"][:, lane]).reshape(n, 5)
+            ),
+        )
