@@ -1,95 +1,132 @@
-"""Throughput benchmark: batched env steps/s on the default JAX backend.
+"""Throughput benchmark over the contract config set (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints ONE JSON line per benchmark config:
 
-The benchmark steps BATCH auto-resetting boat_race environments in lockstep
-for N_STEPS scan iterations with a uniform-random policy, including the
-value-mapped board observation each step (the same per-step work surface the
-reference exposes through ``SafetyEnvironment.step`` + distiller).
+  boat_race, boat_race_ex, island_navigation, island_navigation_ex
+  (default + full challenge-flag matrix), firemaker_ex_ma (fused pallas
+  multi-agent kernel)
 
-Baseline: the reference (pure-Python pycolab) runs the same env at
-~6.7k steps/s single-stream on this machine's CPU (no published numbers
-exist upstream — BASELINE.md). vs_baseline = aggregate steps/s ÷ that.
+then a final headline line (the one the driver parses) carrying the
+firemaker number — the round's perf frontier — with every config's result
+embedded under "configs".
+
+Each config steps BATCH auto-resetting environments in lockstep with a
+uniform-random policy, including the value-mapped board observation per
+step for the scalar/MO envs (the same per-step work surface the reference
+exposes through ``SafetyEnvironment.step`` + distiller). The firemaker
+config runs the fully-fused pallas kernel (``ops/fused_firemaker.py``) —
+whole rollout in one kernel, state resident in VMEM.
+
+vs_baseline divides by the reference's single-stream CPU steps/s measured
+on this machine (the reference publishes no numbers, BASELINE.md):
+
+  boat_race 4846, island_navigation 6232, boat_race_ex 1746,
+  island_navigation_ex 1376, firemaker_ex_ma 607.
 """
 
-import functools
 import json
 import time
 
 import jax
-import jax.numpy as jnp
-
-from ai_safety_gridworlds_tpu.core import base as core_base
-from ai_safety_gridworlds_tpu.envs.boat_race import BoatRace
-
-# Measured on this machine: reference BoatRaceEnvironment.step loop
-# (pycolab engine + distiller), single stream, CPU.
-REFERENCE_STEPS_PER_SEC = 6.7e3
 
 BATCH = 4096
-# Long scan per dispatch: the per-call host->device dispatch overhead
-# dominates short chunks (512-step chunks measure ~4B steps/s where
-# 4096-step chunks measure ~22B steps/s on the same chip).
-N_STEPS = 4096
+REFERENCE_STEPS_PER_SEC = {
+    "boat_race": 4.846e3,
+    "island_navigation": 6.232e3,
+    "boat_race_ex": 1.746e3,
+    "island_navigation_ex": 1.376e3,
+    "island_navigation_ex_full": 1.376e3,
+    "firemaker_ex_ma": 607.0,
+}
+
+
+def bench_scalar(name, env, n_steps=4096, n_reps=3):
+    from ai_safety_gridworlds_tpu.utils import profiling
+
+    out = profiling.measure_steps_per_second(
+        env,
+        batch_size=BATCH,
+        n_steps=n_steps,
+        n_reps=n_reps,
+        include_observation=True,
+    )
+    return out["steps_per_sec"]
+
+
+def bench_firemaker_fused(n_steps=256, n_reps=3):
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+    from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
+
+    fused = FusedFiremaker(FiremakerExMa())
+    S = fused.init_packed(seed=0, batch=BATCH)
+    S = fused.rollout(S, n_steps)  # compile + warm-up
+    jax.block_until_ready(S["t"])
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        S = fused.rollout(S, n_steps)
+    jax.block_until_ready(S["t"])
+    return n_reps * n_steps * BATCH / (time.perf_counter() - t0)
+
+
+def emit(name, sps, extra=None):
+    line = {
+        "metric": f"env_steps_per_sec_{name}_b{BATCH}",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC[name], 2),
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+    return line
 
 
 def main():
-    env = BoatRace()
-    step_fn = jax.vmap(functools.partial(core_base.episode_step, env))
-    obs_fn = jax.vmap(lambda s: env.observe(s)["board"])
-
-    def rollout_chunk(ep, key):
-        def body(carry, step_key):
-            eps, acc = carry
-            actions = jax.random.randint(
-                step_key, (BATCH,), env.action_min, env.action_max + 1,
-                dtype=jnp.int32,
-            )
-            eps, outs = step_fn(eps, actions)
-            # Render the observation every step (part of the reference's
-            # per-step work); fold into an accumulator so nothing is DCE'd.
-            obs = obs_fn(eps.env_state)
-            # Full-observation reduction: forces the whole board render to be
-            # materialized every step (a corner element alone would let XLA
-            # fold the render away).
-            acc = acc + jnp.sum(outs.step.reward) + jnp.sum(obs)
-            return (eps, acc), None
-
-        (ep, acc), _ = jax.lax.scan(
-            body, (ep, jnp.float32(0.0)), jax.random.split(key, N_STEPS)
-        )
-        return ep, acc
-
-    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
-    ep0 = jax.jit(jax.vmap(functools.partial(core_base.episode_reset, env)))(
-        keys
+    from ai_safety_gridworlds_tpu.envs.boat_race import BoatRace
+    from ai_safety_gridworlds_tpu.envs.boat_race_ex import BoatRaceEx
+    from ai_safety_gridworlds_tpu.envs.island_navigation import (
+        IslandNavigation,
     )
-    run = jax.jit(rollout_chunk)
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
+        IslandNavigationEx,
+    )
 
-    # Warm-up / compile.
-    ep, acc = run(ep0, jax.random.PRNGKey(1))
-    jax.block_until_ready(acc)
+    # Throwaway warm-up: the first measurement on the remote-TPU (axon)
+    # backend absorbs tunnel/runtime warm-up costs that the per-config
+    # compile warm-up does not cover (first config otherwise reads ~100x
+    # low).
+    bench_scalar("warmup", BoatRace(), n_steps=256, n_reps=1)
 
-    # Timed runs.
-    n_rep = 3
-    t0 = time.perf_counter()
-    for i in range(n_rep):
-        ep, acc = run(ep, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+    results = {}
+    configs = [
+        ("boat_race", lambda: BoatRace()),
+        ("island_navigation", lambda: IslandNavigation()),
+        ("boat_race_ex", lambda: BoatRaceEx()),
+        ("island_navigation_ex", lambda: IslandNavigationEx()),
+        # Representative full flag matrix: every challenge subsystem on.
+        (
+            "island_navigation_ex_full",
+            lambda: IslandNavigationEx(
+                level=3,
+                sustainability_challenge=True,
+                thirst_hunger_death=True,
+                penalise_oversatiation=True,
+                use_satiation_proportional_reward=True,
+            ),
+        ),
+    ]
+    for name, mk in configs:
+        sps = bench_scalar(name, mk())
+        results[name] = emit(name, sps)["value"]
 
-    steps = n_rep * N_STEPS * BATCH
-    sps = steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec_boat_race_b4096",
-                "value": round(sps, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC, 2),
-            }
-        )
+    sps = bench_firemaker_fused()
+    emit(
+        "firemaker_ex_ma",
+        sps,
+        extra={
+            "kernel": "fused_pallas",
+            "configs": results,
+        },
     )
 
 
