@@ -110,27 +110,32 @@ class GridworldZooParallelEnv(ParallelEnv):
             a: Discrete(n=step_max - step_min + 1, start=step_min)
             for a in self.possible_agents
         }
-        obs_shape = self._agent_board_shape()
+        # Per-agent observation shapes: observation radii are heterogeneous
+        # (e.g. firemaker workers see 5x5, the supervisor the whole map).
         depth = 2 if use_transitions else 1
-        shape = (depth,) + obs_shape
-        if flatten_observations:
-            shape = (int(np.prod(shape)),)
-        self._observation_spaces = {
-            a: Box(low=-np.inf, high=np.inf, shape=shape, dtype=np.float32)
-            for a in self.possible_agents
-        }
+        self._observation_spaces = {}
+        for a, obs_shape in self._agent_board_shapes().items():
+            shape = (depth,) + obs_shape
+            if flatten_observations:
+                shape = (int(np.prod(shape)),)
+            self._observation_spaces[a] = Box(
+                low=-np.inf, high=np.inf, shape=shape, dtype=np.float32
+            )
 
     # -------------------------------------------------------------- helpers
 
-    def _agent_board_shape(self):
+    def _agent_board_shapes(self) -> dict:
         ts = self._env.reset()
         if self._is_moma:
             persp = self._env.agent_perspectives_with_layers(
                 ts.observation, include_layers=False, ascii=False
             )
-            first = next(iter(persp.values()))["board"]
-            return tuple(first.shape)
-        return tuple(ts.observation["board"].shape)
+            return {
+                name: tuple(persp[char]["board"].shape)
+                for name, char in self.agent_name_mapping.items()
+            }
+        shape = tuple(ts.observation["board"].shape)
+        return {a: shape for a in self.possible_agents}
 
     def _agent_observations(self, observation):
         """Per-agent boards (perspectives for MoMa, the global board else)."""
