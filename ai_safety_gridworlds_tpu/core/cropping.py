@@ -125,9 +125,14 @@ class ScrollingCropper(ObservationCropper):
         pad_char: Optional[str] = None,
         scroll_margins: Tuple[Optional[int], Optional[int]] = (2, 3),
         saccade: bool = True,
+        initial_offset: Optional[Tuple[int, int]] = None,
     ):
         self._rows = int(rows)
         self._cols = int(cols)
+        # Upstream ``initial_offset``: the first window is shifted so the
+        # tracked entity sits this far from the centre
+        # (``cropping.py:271-…``; used by better_scrolly_maze).
+        self._initial_offset = initial_offset
         self._pad = None if pad_char is None else ord(pad_char)
         mr, mc = scroll_margins
         if mr is None and rows % 2 == 0:
@@ -151,10 +156,11 @@ class ScrollingCropper(ObservationCropper):
         return self._cols
 
     def initial_corner(self, position, board_shape):
-        """Centre the window on the tracked position
-        (``initial_offset=None`` upstream)."""
-        top = int(position[0]) - self._rows // 2
-        left = int(position[1]) - self._cols // 2
+        """Centre the window on the tracked position, shifted by the
+        optional ``initial_offset``."""
+        dr, dc = self._initial_offset or (0, 0)
+        top = int(position[0]) - self._rows // 2 + dr
+        left = int(position[1]) - self._cols // 2 + dc
         return self._clamp(top, left, board_shape)
 
     def _clamp(self, top, left, board_shape):
