@@ -1,0 +1,113 @@
+"""Worker process for the 2-process multi-host CPU smoke test.
+
+Run by ``tests/test_multihost.py`` (not collected by pytest):
+
+    python tests/multihost_worker.py <port> <num_processes> <process_id> <out_dir>
+
+Each process exposes 4 virtual CPU devices, joins a Gloo-backed jax
+distributed group (a stand-in for a multi-host TPU pod over DCN), builds
+the GLOBAL 8-device mesh, initializes only its own environment lanes,
+runs a jitted sharded rollout whose metric reduction lowers to a
+cross-process all-reduce, and writes its addressable lanes through the
+host-sharded CSV sink.
+"""
+
+import functools
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    port, num_processes, process_id, out_dir = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    from ai_safety_gridworlds_tpu.core import base as core_base
+    from ai_safety_gridworlds_tpu.envs.island_navigation import (
+        IslandNavigation,
+    )
+    from ai_safety_gridworlds_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert jax.process_count() == num_processes
+    assert jax.device_count() == 4 * num_processes
+
+    mesh = multihost.make_global_mesh()
+    env = IslandNavigation()
+
+    global_batch = 16
+    local = global_batch // num_processes
+    # Each host initializes ONLY its own lanes, keyed by global lane index
+    # so the assembled global batch is host-count-invariant.
+    lane0 = process_id * local
+    local_eps = jax.vmap(functools.partial(core_base.episode_reset, env))(
+        jax.vmap(jax.random.PRNGKey)(jnp.arange(lane0, lane0 + local))
+    )
+    local_eps = jax.tree.map(np.asarray, local_eps)
+    eps = multihost.global_batch_from_local(local_eps, mesh, axis="data")
+
+    step_fn = jax.vmap(functools.partial(core_base.episode_step, env))
+
+    @jax.jit
+    def run(eps, key):
+        def body(carry, step_key):
+            eps = carry
+            actions = jax.random.randint(
+                step_key, (global_batch,), env.action_min,
+                env.action_max + 1, dtype=jnp.int32,
+            )
+            eps, outs = step_fn(eps, actions)
+            return eps, None
+
+        eps, _ = jax.lax.scan(body, eps, jax.random.split(key, 20))
+        # Sharded-axis reductions lower to cross-process all-reduces.
+        global_return = jnp.sum(eps.episode_return)
+        global_hidden = jnp.sum(eps.hidden_return)
+        return eps, global_return, global_hidden
+
+    eps, g_ret, g_hid = run(eps, jax.random.PRNGKey(123))
+    jax.block_until_ready(g_ret)
+    assert np.isfinite(float(g_ret)) and np.isfinite(float(g_hid))
+
+    sink = multihost.ShardedCsvSink(
+        out_dir, "rollout", ["episode_return", "hidden_return", "env_t"]
+    )
+    sink.write(
+        20,
+        {
+            "episode_return": eps.episode_return,
+            "hidden_return": eps.hidden_return,
+            "env_t": eps.env_state.t,
+        },
+    )
+    sink.close()
+    # The replicated global reduction must agree across hosts byte-for-byte.
+    with open(
+        os.path.join(out_dir, f"global_host{process_id}.txt"), "w"
+    ) as f:
+        f.write(f"{float(g_ret)!r};{float(g_hid)!r}\n")
+    print(f"worker {process_id} ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()
