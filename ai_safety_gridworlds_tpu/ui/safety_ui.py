@@ -37,9 +37,79 @@ def _fmt_reward(reward) -> str:
     return "[" + ", ".join(f"{float(v):g}" for v in arr) + "]"
 
 
+def _hstack_panels(panels: list, gap: int = 3) -> list:
+    """Lay out lists-of-rows side by side (the reference draws per-agent
+    panels in adjacent screen columns, ``safety_ui_ex.py:265-331,420-560``)."""
+    panels = [p for p in panels if p]
+    if not panels:
+        return []
+    height = max(len(p) for p in panels)
+    widths = [max((len(r) for r in p), default=0) for p in panels]
+    rows = []
+    for y in range(height):
+        parts = [
+            (p[y] if y < len(p) else "").ljust(w)
+            for p, w in zip(panels, widths)
+        ]
+        rows.append((" " * gap).join(parts).rstrip())
+    return rows
+
+
+def _split_agent_metrics(metrics: dict, agent_names: list) -> tuple:
+    """Partition metrics into (global, {agent: {stripped_key: value}}) by
+    the ``<name>_<agent char>`` suffix convention
+    (``safety_ui_ex.py:470-486``)."""
+    global_metrics, per_agent = {}, {a: {} for a in agent_names}
+    for key, value in metrics.items():
+        parts = key.split("_")
+        if len(parts) > 1 and parts[-1] in per_agent:
+            per_agent[parts[-1]]["_".join(parts[:-1])] = value
+        else:
+            global_metrics[key] = value
+    return global_metrics, per_agent
+
+
+def _agent_board_panels(env) -> Optional[list]:
+    """Global map + per-agent perspective boards, side by side
+    (``safety_ui_ex.py:265-331``). None for non-MA environments."""
+    if not (
+        hasattr(env, "agent_perspectives_with_layers")
+        and getattr(env, "agent_names", None)
+    ):
+        return None
+    try:
+        obs = env.last_observation()
+    except Exception:
+        return None
+    if "ascii_codes" not in obs:
+        return None
+    perspectives = env.agent_perspectives_with_layers(
+        obs, include_layers=False, board=False, ascii=True
+    )
+    panels = [["Global map", ""] + _env_char_rows(env)]
+    for agent, entry in perspectives.items():
+        board = np.asarray(entry["ascii"])
+        panels.append(
+            [f"Agent {agent}", ""]
+            + ["".join(str(c) for c in row) for row in board]
+        )
+    return panels
+
+
+def _kv_panel(title: str, items: dict) -> list:
+    width = max([len(str(k)) for k in items] + [0]) + 2
+    return [title] + [
+        f"  {str(k).ljust(width)}{float(v):g}" for k, v in items.items()
+    ]
+
+
 def render_frame(env, timestep=None, elapsed: Optional[float] = None) -> list:
     """Pure frame builder: board rows + status lines (no curses needed)."""
-    rows = list(_env_char_rows(env))
+    agent_panels = _agent_board_panels(env)
+    if agent_panels:
+        rows = _hstack_panels(agent_panels)
+    else:
+        rows = list(_env_char_rows(env))
     rows.append("")
     if timestep is not None:
         rows.append(f"Step type: {timestep.step_type!s}")
@@ -53,12 +123,46 @@ def render_frame(env, timestep=None, elapsed: Optional[float] = None) -> list:
             f"Trial: {env.get_env_layout_seed()}  "
             f"Episode: {env.get_episode_no()}"
         )
-    metrics = None
-    if timestep is not None and isinstance(timestep.observation, dict):
-        metrics = timestep.observation.get("metrics_dict")
-    if metrics:
+    obs = (
+        timestep.observation
+        if timestep is not None and isinstance(timestep.observation, dict)
+        else {}
+    )
+    metrics = obs.get("metrics_dict")
+    agent_names = getattr(env, "agent_names", None)
+    if metrics and agent_names:
+        global_metrics, per_agent = _split_agent_metrics(
+            dict(sorted(metrics.items())), agent_names
+        )
+        if global_metrics:
+            rows.extend(_kv_panel("Global metrics:", global_metrics))
+        panels = [
+            [f"Agent {a}", ""] + _kv_panel("Metrics:", per_agent[a])
+            for a in agent_names
+            if per_agent[a]
+        ]
+        rows.extend(_hstack_panels(panels))
+    elif metrics:
         for k in sorted(metrics):
             rows.append(f"  {k}: {float(metrics[k]):g}")
+    # Per-agent reward-dimension panels (``safety_ui_ex.py:520-560``) /
+    # MO dimension breakdown (:566-589).
+    cumulative = obs.get("cumulative_reward_dict")
+    last = obs.get("reward_dict")
+    if isinstance(cumulative, dict) and cumulative and agent_names:
+        panels = []
+        for a in agent_names:
+            panel = [f"Agent {a}", ""]
+            if isinstance(last, dict) and isinstance(last.get(a), dict):
+                panel += _kv_panel("Last score:", last[a]) + [""]
+            if isinstance(cumulative.get(a), dict):
+                panel += _kv_panel("Episode return:", cumulative[a])
+            panels.append(panel)
+        rows.extend([""] + _hstack_panels(panels))
+    elif isinstance(cumulative, dict) and cumulative:
+        if isinstance(last, dict) and last:
+            rows.extend([""] + _kv_panel("Last reward:", last))
+        rows.extend([""] + _kv_panel("Episode return:", cumulative))
     if elapsed is not None:
         rows.append(
             "Elapsed: " + str(datetime.timedelta(seconds=int(elapsed)))
@@ -178,27 +282,48 @@ class SafetyCursesUi:
                 next_pair += 1
         if self._delay is not None:
             screen.timeout(self._delay)
+        import time
+
+        start = time.monotonic()
+        full_redraw = True
         while True:
-            screen.erase()
-            for y, row in enumerate(
-                render_frame(self._env, self._timestep)
-            ):
-                for x, ch in enumerate(row):
-                    attr = pairs.get(ch, 0)
-                    try:
-                        screen.addstr(y, x, ch, attr)
-                    except Exception:
-                        pass
+            if full_redraw:
+                screen.erase()
+                for y, row in enumerate(
+                    render_frame(self._env, self._timestep)
+                ):
+                    for x, ch in enumerate(row):
+                        attr = pairs.get(ch, 0)
+                        try:
+                            screen.addstr(y + 1, x, ch, attr)
+                        except Exception:
+                            pass
+            # The clock updates every refresh; everything else only redraws
+            # when the state may have changed (the reference's
+            # update_time_counter_only flicker optimisation,
+            # ``safety_ui_ex.py:205-222,348-352``).
+            elapsed = datetime.timedelta(seconds=int(time.monotonic() - start))
+            try:
+                screen.addstr(0, 2, str(elapsed), 0)
+            except Exception:
+                pass
             screen.refresh()
             key = screen.getch()
             if key == 27:  # ESC exits the UI
                 return
             if key == -1:
-                key = " "  # timeout acts as NOOP when bound
+                # Timeout tick: acts as NOOP when bound, otherwise only the
+                # clock needs updating.
+                if " " not in self._keys_to_actions:
+                    full_redraw = False
+                    continue
+                key = " "
             name = chr(key) if 0 <= key < 256 else key
+            full_redraw = False
             for candidate in (key, name):
                 if candidate in self._keys_to_actions:
                     self.apply_key(candidate)
+                    full_redraw = True
                     break
 
 

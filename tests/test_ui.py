@@ -50,6 +50,47 @@ def test_apply_key_multi_agent_cycles():
     assert set(ts2.reward.keys()) <= {"0", "1"}
 
 
+def test_render_frame_ma_panels():
+    """MA frames show the global map plus per-agent perspective boards and
+    agent-partitioned metric/reward panels side by side
+    (``safety_ui_ex.py:265-331,420-560``)."""
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+
+    reset_class_statics()
+    env = SafetyEnvironmentMoMa(FiremakerExMa())
+    env.reset()
+    ts = env.step({a: 2 for a in env.agent_names})
+    frame = render_frame(env, ts)
+    header = frame[0]
+    assert "Global map" in header
+    for agent in env.agent_names:
+        assert f"Agent {agent}" in header
+    joined = "\n".join(frame)
+    # Agent-suffixed metrics move into per-agent panels with the suffix
+    # stripped; the StopButtonPressCountdown metric is global.
+    assert "Global metrics:" in joined
+    assert "StopButtonPressCountdown" in joined
+    assert "WorkshopVisits_1" not in joined
+    assert "WorkshopVisits" in joined
+    assert "Episode return:" in joined
+    assert "ENERGY" in joined
+
+
+def test_render_frame_mo_reward_dimensions():
+    """MO frames break the episode return down by reward dimension keys
+    (``safety_ui_ex.py:566-589``)."""
+    from ai_safety_gridworlds_tpu.envs.boat_race_ex import BoatRaceEx
+    from ai_safety_gridworlds_tpu.mo.safety_game_mo import SafetyEnvironmentMo
+
+    reset_class_statics()
+    env = SafetyEnvironmentMo(BoatRaceEx())
+    env.reset()
+    ts = env.step(4)
+    joined = "\n".join(render_frame(env, ts))
+    assert "Episode return:" in joined
+    assert "MOVEMENT" in joined
+
+
 def test_curses_colours_passthrough():
     assert curses_colours({"A": (0, 706, 999)})["A"] == (0, 706, 999)
     assert curses_colours({"B": (1200, 0, 0)})["B"] == (1000, 0, 0)
