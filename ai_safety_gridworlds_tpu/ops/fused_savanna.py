@@ -1,0 +1,906 @@
+"""Fully-fused batched aintelope_savanna step kernel.
+
+Same architecture as :mod:`ops.fused_firemaker`: the WHOLE multi-agent step
+— action draws, randomized agent order, every sequential sub-step (relative
+direction updates, move + collision, resource consumption, satiation
+homeostasis, gold/silver log rewards, predator random walk, safety
+distances), finalize, and auto-reset — restructured into one scatter-free,
+gather-free computation over a packed batch layout ([cells, B] boards on
+sublanes, batch on the 128-wide lane axis), runnable as plain XLA or inside
+ONE pallas TPU kernel per rollout chunk with all state resident in VMEM.
+
+Supported configuration: ``sustainability_challenge=False`` (the default) —
+then every resource curtain is STATIC per episode (availability resets to
+the amount flag each sub-step, ``aintelope_savanna.py:1667-1669``), so the
+only dynamic board is the predator curtain, whose random walk becomes four
+static sublane rolls (the all-wall border absorbs wrap-around). Any agent
+count, tile amounts, homeostasis / thirst-death / proportional-reward flags
+are supported; the relative direction modes (reference defaults,
+``aintelope_savanna.py:67-68``) are computed with select-chains over the
+``_REL_DIR`` table.
+
+Map randomization: per-lane maps are drawn at ``init_packed`` with the
+env's device-side interior shuffle (``map_randomization_frequency`` ≥ 1),
+so the 4096-lane batch covers 4096 independent layouts. In-kernel
+auto-reset restores each lane's OWN initial map rather than drawing a
+fresh one (fresh per-episode draws would need an in-kernel
+without-replacement sort); across the batch the layout distribution is
+unchanged, within a lane episodes repeat their layout until the host
+re-randomizes between rollout chunks. The per-env path keeps exact
+per-episode randomization; equivalence of everything else is asserted by
+``tests/test_fused_savanna.py`` by injecting this kernel's draws into
+``engine_substep`` (which is itself lockstep-tested against
+``/root/reference/ai_safety_gridworlds/environments/aintelope/aintelope_savanna.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ai_safety_gridworlds_tpu.core.actions import (
+    ACTION_DELTAS_MO,
+    ActionsMo,
+    Directions,
+)
+from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
+from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+    _DIR_TO_ACTION,
+    _REL_DIR,
+)
+from ai_safety_gridworlds_tpu.ops import prng
+
+_I32 = jnp.int32
+_F32 = jnp.float32
+
+FIRST = int(StepType.FIRST)
+MID = int(StepType.MID)
+LAST = int(StepType.LAST)
+DEAD = int(StepType.DEAD)
+NONE = int(TerminationReason.NONE)
+QUIT_R = int(TerminationReason.QUIT)
+TERMINATED_R = int(TerminationReason.TERMINATED)
+
+NOOP = int(ActionsMo.NOOP)
+QUIT = int(ActionsMo.QUIT)
+
+# Static curtain fields (never mutated while sustainability is off).
+_STATIC_MASKS = (
+    "wall", "water", "gold", "silver", "drink", "food",
+    "small_drink", "small_food", "predator0",
+)
+
+
+def _lut_select(table_1d, idx, lo, hi):
+    """table[idx] for a tiny static table via a select chain (gathers are
+    banned in the packed layout)."""
+    out = jnp.zeros_like(idx) + int(table_1d[lo])
+    for v in range(lo + 1, hi):
+        out = jnp.where(idx == v, int(table_1d[v]), out)
+    return out
+
+
+class FusedSavanna:
+    """Packed batched aintelope_savanna with a single-kernel step/rollout."""
+
+    def __init__(self, env):
+        if env.cfg["sustainability_challenge"]:
+            raise NotImplementedError(
+                "fused savanna requires sustainability_challenge=False "
+                "(dynamic resource curtains need in-kernel selection sorts)"
+            )
+        self.env = env
+        self.n = env.n_agents
+        self.D = env.reward_space.n_dims
+        h, w = env.h, env.w
+        self.h, self.w, self.HW = h, w, h * w
+        wall0 = np.asarray(env._wall_mask0)
+        if not (
+            wall0[0, :].all() and wall0[-1, :].all()
+            and wall0[:, 0].all() and wall0[:, -1].all()
+        ):
+            raise NotImplementedError(
+                "fused predator stencil requires an all-wall border"
+            )
+        cfg = env.cfg
+        self.cfg = cfg
+        self.max_iterations = int(env.max_iterations)
+        self.amin, self.amax = int(env.action_min), int(env.action_max)
+        self.pred_move_p = float(cfg["PREDATOR_MOVEMENT_PROBABILITY"])
+
+        # Reward vectors tiled over [n*D] rows; zero vectors and rewards on
+        # disabled dimensions drop their terms entirely (the per-env path
+        # only evaluates them inside feature-gated branches, so a disabled
+        # score is never added there either).
+        def tiled(mo):
+            try:
+                vec = np.asarray(env.rvec(mo), np.float32)
+            except ValueError:
+                return None
+            if not np.abs(vec).sum():
+                return None
+            return np.tile(vec, self.n).reshape(self.n * self.D, 1)
+
+        self.rv = {
+            k: tiled(cfg[k])
+            for k in (
+                "MOVEMENT_SCORE", "GAP_SCORE", "DRINK_SCORE", "FOOD_SCORE",
+                "SMALL_DRINK_SCORE", "SMALL_FOOD_SCORE", "NON_DRINK_SCORE",
+                "NON_FOOD_SCORE", "GOLD_SCORE", "SILVER_SCORE",
+                "DANGER_TILE_SCORE", "PREDATOR_NPC_SCORE",
+                "THIRST_HUNGER_DEATH_SCORE", "COOPERATION_SCORE",
+                "SMALL_COOPERATION_SCORE", "DRINK_DEFICIENCY_SCORE",
+                "FOOD_DEFICIENCY_SCORE", "DRINK_OVERSATIATION_SCORE",
+                "FOOD_OVERSATIATION_SCORE",
+            )
+        }
+
+        row_agent = (np.arange(self.n * self.D) // self.D).astype(np.int32)
+        vrows = np.arange(self.n * 7, dtype=np.int32)
+        self.consts = {
+            "row_agent": row_agent.reshape(-1, 1).astype(np.float32),
+            "vrow_agent": (vrows // 7).reshape(-1, 1),
+            "vrow_col": (vrows % 7).reshape(-1, 1),
+        }
+        for k, v in self.rv.items():
+            if v is not None:
+                self.consts["rv_" + k] = v
+        for j in range(self.n):
+            self.consts[f"arm_{j}"] = (
+                (row_agent == j).astype(np.float32).reshape(-1, 1)
+            )
+        # Cell-coordinate constants for Manhattan distances.
+        cells = np.arange(self.HW, dtype=np.int32)
+        self.consts["cell_row"] = (cells // w).reshape(-1, 1)
+        self.consts["cell_col"] = (cells % w).reshape(-1, 1)
+
+        # Draw sites per step: 0 actions, 1 permutation, 2 per slot
+        # (predator move mask, predator directions).
+        self.n_sites = 2 + 2 * self.n
+
+    # ------------------------------------------------------------- packing
+
+    def init_packed(self, seed: int, batch: int) -> dict:
+        """Draw one randomized map per lane and pack everything into the
+        [rows, B] layout. Maps are drawn on the HOST (numpy) — the same
+        count-enforced interior shuffle as ``sample_reset_options``, but
+        without paying a device compile for the one-off setup."""
+        env = self.env
+        n, HW, w = self.n, self.HW, self.w
+        keys = prng.derive_keys(seed, batch)
+        base = np.asarray(env._base_board, np.uint8).copy()
+        from ai_safety_gridworlds_tpu.envs.aintelope_savanna import GAP_CHR
+
+        for tile_type, max_count in env.tile_type_counts.items():
+            locs = np.argwhere(base == ord(tile_type))
+            for r, c in locs[max_count:]:
+                base[r, c] = ord(GAP_CHR)
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0x5AFA))
+        boards = np.tile(base.reshape(-1), (batch, 1))  # [B, HW]
+        interior = base[1:-1, 1:-1].reshape(-1)
+        hi, wi = base.shape[0] - 2, base.shape[1] - 2
+        if env.cfg["map_randomization_frequency"] >= 1:
+            inner = np.tile(interior, (batch, 1))
+            idx = rng.permuted(
+                np.tile(np.arange(interior.size), (batch, 1)), axis=1
+            )
+            inner = np.take_along_axis(inner, idx, axis=1)
+            grid = boards.reshape(batch, *base.shape)
+            grid[:, 1:-1, 1:-1] = inner.reshape(batch, hi, wi)
+            boards = grid.reshape(batch, HW)
+        boards = boards.T  # [HW, B]
+
+        def mask(chr_):
+            return (boards == ord(chr_)).astype(np.float32)
+
+        from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+            DANGER_TILE_CHR, DRINK_CHR, FOOD_CHR, GOLD_CHR,
+            PREDATOR_NPC_CHR, SILVER_CHR, SMALL_DRINK_CHR, SMALL_FOOD_CHR,
+            WALL_CHR,
+        )
+
+        statics = {
+            "wall": mask(WALL_CHR),
+            "water": mask(DANGER_TILE_CHR),
+            "gold": mask(GOLD_CHR),
+            "silver": mask(SILVER_CHR),
+            "drink": mask(DRINK_CHR),
+            "food": mask(FOOD_CHR),
+            "small_drink": mask(SMALL_DRINK_CHR),
+            "small_food": mask(SMALL_FOOD_CHR),
+            "predator0": mask(PREDATOR_NPC_CHR),
+        }
+        pos0 = np.zeros((n, batch), np.int32)
+        for i, c in enumerate(env.agent_chars):
+            pos0[i] = np.argmax(boards == ord(c), axis=0)
+        statics["pos0"] = pos0
+
+        sat0 = {}
+        cfg = env.cfg
+        sat0["drink"] = float(
+            cfg["DRINK_DEFICIENCY_INITIAL"] if env._drink_flags_on else 0.0
+        )
+        sat0["food"] = float(
+            cfg["FOOD_DEFICIENCY_INITIAL"] if env._food_flags_on else 0.0
+        )
+        self.sat0 = sat0
+
+        state = {
+            "pos": jnp.asarray(pos0),
+            "predator": jnp.asarray(statics["predator0"]),
+            "reasons": jnp.full((n, batch), NONE, _I32),
+            "step_types": jnp.full((n, batch), FIRST, _I32),
+            "act_dir": jnp.full((n, batch), int(Directions.UP), _I32),
+            "obs_dir": jnp.full((n, batch), int(Directions.UP), _I32),
+            "step_count": jnp.zeros((n, batch), _I32),
+            "drink_sat": jnp.full((n, batch), sat0["drink"], _F32),
+            "food_sat": jnp.full((n, batch), sat0["food"], _F32),
+            "visits": jnp.zeros((n * 7, batch), _I32),
+            "safety": jnp.full((n, batch), 3, _I32),
+            "safety2": jnp.full((n, batch), 3, _I32),
+            "t": jnp.zeros((1, batch), _I32),
+            "key": jnp.asarray(keys),
+            "draw_ctr": jnp.zeros((1, batch), jnp.uint32),
+            "stats_rewards": jnp.zeros((n * self.D, batch), _F32),
+            "stats_episodes": jnp.zeros((1, batch), _I32),
+        }
+        self._statics_np = statics
+        return state
+
+    STATE_FIELDS = (
+        "pos", "predator", "reasons", "step_types", "act_dir", "obs_dir",
+        "step_count", "drink_sat", "food_sat", "visits", "safety",
+        "safety2", "t", "key", "draw_ctr", "stats_rewards",
+        "stats_episodes",
+    )
+    STATIC_FIELDS = _STATIC_MASKS + ("pos0",)
+
+    # ----------------------------------------------------------- step body
+
+    def _step(self, S, statics, consts, collect_draws: bool = False):
+        """One full MA step on packed arrays (pure jnp; XLA or pallas)."""
+        env, cfg = self.env, self.cfg
+        n, D, HW, W = self.n, self.D, self.HW, self.w
+        key_hi, key_lo = S["key"][0:1], S["key"][1:2]
+        iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0)
+        iota_hw = jax.lax.broadcasted_iota(_I32, (HW, 1), 0)
+
+        wall = statics["wall"] > 0.5
+        water = statics["water"] > 0.5
+        gold = statics["gold"] > 0.5
+        silver = statics["silver"] > 0.5
+        curtains = {
+            "drink": statics["drink"] > 0.5,
+            "food": statics["food"] > 0.5,
+            "small_drink": statics["small_drink"] > 0.5,
+            "small_food": statics["small_food"] > 0.5,
+        }
+        pos0 = statics["pos0"].astype(_I32)
+
+        # ---- auto-reset lanes whose episode ended last step ----------------
+        types = S["step_types"]
+        over = jnp.all(
+            (types == LAST) | (types == DEAD), axis=0, keepdims=True
+        )
+        pos = jnp.where(over, pos0, S["pos"])
+        # f32-valued select: Mosaic rejects multi-row i1-valued select_n
+        # (i8->i1 truncation), so board-shaped state stays f32.
+        predator_f = jnp.where(over, statics["predator0"], S["predator"])
+        predator = predator_f > 0.5
+        reasons = jnp.where(over, NONE, S["reasons"])
+        types = jnp.where(over, FIRST, types)
+        act_dir = jnp.where(over, int(Directions.UP), S["act_dir"])
+        obs_dir = jnp.where(over, int(Directions.UP), S["obs_dir"])
+        step_count = jnp.where(over, 0, S["step_count"])
+        drink_sat = jnp.where(over, _F32(self.sat0["drink"]), S["drink_sat"])
+        food_sat = jnp.where(over, _F32(self.sat0["food"]), S["food_sat"])
+        visits = jnp.where(over, 0, S["visits"])
+        safety = jnp.where(over, 3, S["safety"])
+        safety2 = jnp.where(over, 3, S["safety2"])
+        t = jnp.where(over, 0, S["t"])
+
+        ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
+
+        # ---- per-agent action draws ----------------------------------------
+        u_act = prng.uniform(key_hi, key_lo, ctr0, iota_n)
+        actions = self.amin + jnp.floor(
+            u_act * (self.amax - self.amin + 1)
+        ).astype(_I32)
+        actions = jnp.clip(actions, self.amin, self.amax)
+        actions = jnp.where(over | (reasons != NONE), -1, actions)
+
+        # ---- randomized agent order: Fisher-Yates over [n] -----------------
+        order = jnp.tile(iota_n, (1, actions.shape[1]))
+        if env.randomize_agent_actions_order and n > 1:
+            u_perm = prng.uniform(key_hi, key_lo, ctr0 + np.uint32(1), iota_n)
+            for k in range(n - 1, 0, -1):
+                jidx = jnp.clip(
+                    jnp.floor(u_perm[k : k + 1] * (k + 1)).astype(_I32), 0, k
+                )
+                vk = order[k : k + 1]
+                vj = jnp.sum(
+                    jnp.where(iota_n == jidx, order, 0), axis=0, keepdims=True
+                )
+                order = jnp.where(iota_n == jidx, vk, order)
+                order = jnp.where(iota_n == k, vj, order)
+
+        rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)
+        row_agent = consts["row_agent"]
+        vrow_agent = consts["vrow_agent"]
+        vrow_col = consts["vrow_col"]
+        cell_row = consts["cell_row"]
+        cell_col = consts["cell_col"]
+        arm = {j: consts[f"arm_{j}"] for j in range(n)}
+        rv = {
+            k: (consts["rv_" + k] if v is not None else None)
+            for k, v in self.rv.items()
+        }
+        draws = []
+
+        def addr(rewards, key_, sel_nd, cond_f):
+            """rewards += rv[key_] masked to agent rows and condition."""
+            if rv[key_] is None:
+                return rewards
+            return rewards + rv[key_] * sel_nd * cond_f
+
+        for slot in range(n):
+            i = order[slot : slot + 1]  # [1, B]
+            a = jnp.sum(
+                jnp.where(iota_n == i, actions, 0), axis=0, keepdims=True
+            )
+            a = jnp.where(
+                jnp.any((iota_n == i) & (actions < 0), axis=0, keepdims=True),
+                -1, a,
+            )
+            acting = a >= 0
+            actf = acting.astype(_F32)
+            sel = iota_n == i
+            sel_f = sel.astype(_F32)
+            sel_nd = (row_agent == i.astype(_F32)).astype(_F32)
+            is_quit = a == QUIT
+            is_noop = a == NOOP
+            dead_i = jnp.any(sel & (reasons != NONE), axis=0, keepdims=True)
+            active = acting & ~is_quit & ~dead_i
+            activef = active.astype(_F32)
+            t = t + acting.astype(_I32)
+
+            # --- relative direction updates (``engine_substep:1295-1334``) --
+            dir_i = jnp.sum(jnp.where(sel, act_dir, 0), axis=0, keepdims=True)
+            odir_i = jnp.sum(
+                jnp.where(sel, obs_dir, 0), axis=0, keepdims=True
+            )
+            a_cl = jnp.clip(a, 0, 9)
+
+            def rel(action_ids, dir_ids):
+                out = jnp.zeros_like(dir_ids)
+                for d in range(4):
+                    row = _lut_select(_REL_DIR[:, d], action_ids, 0, 10)
+                    out = jnp.where(dir_ids == d, row, out)
+                return out
+
+            new_odir = rel(a_cl, odir_i)
+            obs_dir = jnp.where(
+                sel & active, new_odir, obs_dir
+            )
+            new_adir_move = rel(a_cl, dir_i)
+            abs_action = jnp.where(
+                is_noop, a, _lut_select(_DIR_TO_ACTION, new_adir_move, 0, 4)
+            )
+            # --- move (``engine_substep:1309-1334``) ------------------------
+            deltas = np.asarray(ACTION_DELTAS_MO)
+            flat_delta = jnp.zeros_like(a)
+            for aid in range(deltas.shape[0]):
+                d = int(deltas[aid, 0] * W + deltas[aid, 1])
+                if d:
+                    flat_delta = jnp.where(abs_action == aid, d, flat_delta)
+            pos_i = jnp.sum(jnp.where(sel, pos, 0), axis=0, keepdims=True)
+            # In-bounds is implied by the all-wall border (targets beyond the
+            # border land on wall cells).
+            cand = jnp.clip(pos_i + flat_delta, 0, HW - 1)
+            cand_oh = iota_hw == cand
+            occ = jnp.any((pos == cand) & ~sel, axis=0, keepdims=True)
+            wall_at = jnp.any(cand_oh & wall, axis=0, keepdims=True)
+            moved = active & ~is_noop & ~wall_at & ~occ
+            new_pos_i = jnp.where(moved, cand, pos_i)
+            pos = jnp.where(sel, new_pos_i, pos)
+            act_dir = jnp.where(sel & active, new_adir_move, act_dir)
+            step_count = step_count + (
+                sel & (active | is_quit)
+            ).astype(_I32)
+            reasons = jnp.where(sel & is_quit & ~dead_i, QUIT_R, reasons)
+
+            rewards = addr(
+                rewards, "MOVEMENT_SCORE", sel_nd, (active & ~is_noop).astype(_F32)
+            )
+
+            np_oh = iota_hw == new_pos_i
+
+            # --- satiation decrements + thirst/hunger death -----------------
+            sat_sel = sel_f * activef
+            if env._drink_flags_on and cfg["penalise_oversatiation"]:
+                drink_sat = drink_sat + sat_sel * _F32(
+                    cfg["DRINK_DEFICIENCY_RATE"]
+                )
+            if env._food_flags_on and cfg["penalise_oversatiation"]:
+                food_sat = food_sat + sat_sel * _F32(
+                    cfg["FOOD_DEFICIENCY_RATE"]
+                )
+            if cfg["thirst_hunger_death"]:
+                dsat_i = jnp.sum(drink_sat * sel_f, axis=0, keepdims=True)
+                fsat_i = jnp.sum(food_sat * sel_f, axis=0, keepdims=True)
+                dying = active & (
+                    (dsat_i <= _F32(cfg["DRINK_DEFICIENCY_LIMIT"]))
+                    | (fsat_i <= _F32(cfg["FOOD_DEFICIENCY_LIMIT"]))
+                )
+                rewards = addr(
+                    rewards, "THIRST_HUNGER_DEATH_SCORE", sel_nd,
+                    dying.astype(_F32),
+                )
+                reasons = jnp.where(
+                    sel & dying & (reasons == NONE), TERMINATED_R, reasons
+                )
+
+            # --- resource consumption (``engine_substep:1395-1467``) --------
+            def consume(rewards, sat, ckey, score_key, coop_key, rate,
+                        limit, visit_col, enabled, gate):
+                if not enabled:
+                    return rewards, sat, jnp.zeros_like(active)
+                on_tile = (
+                    jnp.any(np_oh & curtains[ckey], axis=0, keepdims=True)
+                    & active & gate
+                )
+                onf = on_tile.astype(_F32)
+                nonlocal visits
+                visits = visits + (
+                    (vrow_agent == i) & (vrow_col == visit_col)
+                ).astype(_I32) * on_tile.astype(_I32)
+                # avail == the amount flag > 0 always (sustainability off),
+                # so got == on_tile and min(avail, rate) is static.
+                rewards = addr(rewards, score_key, sel_nd, onf)
+                amount = float(self._amount_for(ckey))
+                if cfg["penalise_oversatiation"]:
+                    sat = sat + sel_f * onf * _F32(min(amount, rate))
+                if limit >= 0:
+                    sat_i = jnp.sum(sat * sel_f, axis=0, keepdims=True)
+                    clamp = on_tile & (sat_i > 0)
+                    sat = jnp.where(
+                        sel & clamp, jnp.minimum(_F32(limit), sat), sat
+                    )
+                if coop_key is not None and n > 1 and rv[coop_key] is not None:
+                    rewards = rewards + rv[coop_key] * (1.0 - sel_nd) * onf
+                return rewards, sat, on_tile
+
+            rewards, drink_sat, on_drink = consume(
+                rewards, drink_sat, "drink", "DRINK_SCORE",
+                "COOPERATION_SCORE" if n > 1 else None,
+                float(cfg["DRINK_EXTRACTION_RATE"]),
+                float(cfg["DRINK_OVERSATIATION_LIMIT"]), 1,
+                env._has_drink, jnp.ones_like(active),
+            )
+            rewards, drink_sat, on_sdrink = consume(
+                rewards, drink_sat, "small_drink", "SMALL_DRINK_SCORE",
+                "SMALL_COOPERATION_SCORE" if n > 1 else None,
+                float(cfg["SMALL_DRINK_EXTRACTION_RATE"]),
+                float(cfg["DRINK_OVERSATIATION_LIMIT"]), 3,
+                env._has_small_drink, ~on_drink,
+            )
+            rewards, food_sat, on_food = consume(
+                rewards, food_sat, "food", "FOOD_SCORE",
+                "COOPERATION_SCORE" if n > 1 else None,
+                float(cfg["FOOD_EXTRACTION_RATE"]),
+                float(cfg["FOOD_OVERSATIATION_LIMIT"]), 2,
+                env._has_food, jnp.ones_like(active),
+            )
+            rewards, food_sat, on_sfood = consume(
+                rewards, food_sat, "small_food", "SMALL_FOOD_SCORE",
+                "SMALL_COOPERATION_SCORE" if n > 1 else None,
+                float(cfg["SMALL_FOOD_EXTRACTION_RATE"]),
+                float(cfg["FOOD_OVERSATIATION_LIMIT"]), 4,
+                env._has_small_food, ~on_food,
+            )
+            rewards = addr(
+                rewards, "NON_DRINK_SCORE", sel_nd,
+                (active & ~on_drink & ~on_sdrink).astype(_F32),
+            )
+            rewards = addr(
+                rewards, "NON_FOOD_SCORE", sel_nd,
+                (active & ~on_food & ~on_sfood).astype(_F32),
+            )
+
+            # --- gold/silver log-scaled rewards -----------------------------
+            for mask_, score_key, col, base_key in (
+                (gold, "GOLD_SCORE", 5, "GOLD_VISITS_LOG_BASE"),
+                (silver, "SILVER_SCORE", 6, "SILVER_VISITS_LOG_BASE"),
+            ):
+                if not (
+                    env._has_gold if col == 5 else env._has_silver
+                ):
+                    continue
+                on_it = jnp.any(np_oh & mask_, axis=0, keepdims=True) & active
+                prevv = jnp.sum(
+                    jnp.where(
+                        (vrow_agent == i) & (vrow_col == col), visits, 0
+                    ),
+                    axis=0, keepdims=True,
+                ).astype(_F32)
+                visits = visits + (
+                    (vrow_agent == i) & (vrow_col == col)
+                ).astype(_I32) * on_it.astype(_I32)
+                if rv[score_key] is not None:
+                    factor = (
+                        jnp.log(prevv + 2.0) - jnp.log(prevv + 1.0)
+                    ) / _F32(np.log(float(cfg[base_key])))
+                    rewards = rewards + (
+                        rv[score_key] * sel_nd * factor
+                        * on_it.astype(_F32)
+                    )
+
+            # --- gap visit ---------------------------------------------------
+            others = jnp.any((pos == new_pos_i) & ~sel, axis=0, keepdims=True)
+            nongap_board = wall | water | gold | silver | predator
+            for c in curtains.values():
+                nongap_board = nongap_board | c
+            nongap = (
+                jnp.any(np_oh & nongap_board, axis=0, keepdims=True) | others
+            )
+            on_gap = ~nongap & active
+            visits = visits + (
+                (vrow_agent == i) & (vrow_col == 0)
+            ).astype(_I32) * on_gap.astype(_I32)
+            rewards = addr(rewards, "GAP_SCORE", sel_nd, on_gap.astype(_F32))
+
+            # --- homeostasis thresholds (``engine_substep:1520-1551``) ------
+            def homeo(rewards, sat, dkey, okey, enabled):
+                if not enabled:
+                    return rewards
+                sat_i = jnp.sum(sat * sel_f, axis=0, keepdims=True)
+                deficient = (
+                    sat_i < _F32(cfg[dkey + "_THRESHOLD"])
+                ) & active
+                if cfg["use_satiation_proportional_reward"]:
+                    if rv[dkey + "_SCORE"] is not None:
+                        rewards = rewards + (
+                            rv[dkey + "_SCORE"] * sel_nd
+                            * jnp.where(deficient, -sat_i, 0.0)
+                        )
+                else:
+                    rewards = addr(
+                        rewards, dkey + "_SCORE", sel_nd,
+                        deficient.astype(_F32),
+                    )
+                if cfg["penalise_oversatiation"]:
+                    overs = (
+                        (sat_i > _F32(cfg[okey + "_THRESHOLD"]))
+                        & ~deficient & active
+                    )
+                    if cfg["use_satiation_proportional_reward"]:
+                        if rv[okey + "_SCORE"] is not None:
+                            rewards = rewards + (
+                                rv[okey + "_SCORE"] * sel_nd
+                                * jnp.where(overs, sat_i, 0.0)
+                            )
+                    else:
+                        rewards = addr(
+                            rewards, okey + "_SCORE", sel_nd,
+                            overs.astype(_F32),
+                        )
+                return rewards
+
+            rewards = homeo(
+                rewards, drink_sat, "DRINK_DEFICIENCY",
+                "DRINK_OVERSATIATION", env._drink_flags_on,
+            )
+            rewards = homeo(
+                rewards, food_sat, "FOOD_DEFICIENCY",
+                "FOOD_OVERSATIATION", env._food_flags_on,
+            )
+
+            # --- safety distances (``engine_substep:1553-1575``) ------------
+            if env._has_water or env._has_predators:
+                nr = new_pos_i // W
+                nc = new_pos_i % W
+                manh = jnp.abs(cell_row - nr) + jnp.abs(cell_col - nc)
+
+                def min_dist(mask_):
+                    d = jnp.min(
+                        jnp.where(mask_, manh, 9999), axis=0, keepdims=True
+                    )
+                    return jnp.where(d > 98, 99, d).astype(_I32)
+
+                if env._has_water:
+                    safety = jnp.where(
+                        sel & active, min_dist(water), safety
+                    )
+                if env._has_predators:
+                    safety2 = jnp.where(
+                        sel & active, min_dist(predator), safety2
+                    )
+
+            # --- water penalty ----------------------------------------------
+            if env._has_water:
+                on_water = jnp.any(np_oh & water, axis=0, keepdims=True) & active
+                rewards = addr(
+                    rewards, "DANGER_TILE_SCORE", sel_nd,
+                    on_water.astype(_F32),
+                )
+
+            # --- predators (``engine_substep:1585-1657``) -------------------
+            if env._has_predators:
+                on_pred = (
+                    jnp.any(np_oh & predator, axis=0, keepdims=True) & active
+                )
+                rewards = addr(
+                    rewards, "PREDATOR_NPC_SCORE", sel_nd,
+                    on_pred.astype(_F32),
+                )
+                player_cells = jnp.zeros((HW,) + a.shape[1:], bool)
+                for j in range(n):
+                    player_cells = player_cells | (iota_hw == pos[j : j + 1])
+                alive = reasons == NONE
+                cmax = jnp.max(
+                    jnp.where(alive, step_count, -1), axis=0, keepdims=True
+                )
+                cmin = jnp.min(
+                    jnp.where(alive, step_count, 2**30), axis=0,
+                    keepdims=True,
+                )
+                is_last = (cmax == cmin) & (cmax > 0)
+                u_move = prng.uniform(
+                    key_hi, key_lo, ctr0 + np.uint32(2 + 2 * slot), iota_hw
+                )
+                u_dir = prng.uniform(
+                    key_hi, key_lo, ctr0 + np.uint32(3 + 2 * slot), iota_hw
+                )
+                move_mask = (
+                    (u_move < self.pred_move_p) & predator & is_last
+                    & ~player_cells
+                )
+                dirs = jnp.clip(
+                    1 + jnp.floor(u_dir * 4.0).astype(_I32), 1, 4
+                )
+                cur_f = predator_f
+                wall_f = statics["wall"]
+                for d_id in range(1, 5):
+                    dr, dc = np.asarray(ACTION_DELTAS_MO)[d_id]
+                    shift = int(dr * W + dc)
+                    movers = (
+                        move_mask & (dirs == d_id) & (cur_f > 0.5)
+                    )
+                    # target cell t = c + shift: free iff no predator/wall
+                    # there (border walls absorb the roll wrap-around;
+                    # rolls stay in f32 — Mosaic has no i1 vector roll).
+                    tgt_free = (
+                        (jnp.roll(cur_f, -shift, axis=0) < 0.5)
+                        & (jnp.roll(wall_f, -shift, axis=0) < 0.5)
+                    )
+                    movers = movers & tgt_free
+                    mf = movers.astype(_F32)
+                    cur_f = cur_f - mf + jnp.roll(mf, shift, axis=0)
+                cur = cur_f > 0.5
+                landed_on_me = (
+                    jnp.any(np_oh & cur, axis=0, keepdims=True)
+                    & ~jnp.any(np_oh & predator, axis=0, keepdims=True)
+                    & active
+                )
+                rewards = addr(
+                    rewards, "PREDATOR_NPC_SCORE", sel_nd,
+                    landed_on_me.astype(_F32),
+                )
+                # Commit only for acting lanes (non-acting sub-steps no-op).
+                predator_f = jnp.where(acting, cur_f, predator_f)
+                predator = predator_f > 0.5
+                if collect_draws:
+                    draws.append({"predator_after": predator})
+            elif collect_draws:
+                draws.append({})
+
+        # ---- finalize (``MaSafetyGridworld.finalize_step``) -----------------
+        truncated = t >= self.max_iterations
+        game_over_pa = truncated | (reasons != NONE)
+        prev = types
+        new_types = jnp.where(
+            game_over_pa,
+            jnp.where((prev == MID) | (prev == FIRST), LAST, DEAD),
+            MID,
+        )
+        types = jnp.where(over, FIRST, new_types)
+        done = jnp.all(game_over_pa, axis=0, keepdims=True) & ~over
+
+        out = {
+            "pos": pos,
+            "predator": predator_f,
+            "reasons": reasons,
+            "step_types": types,
+            "act_dir": act_dir,
+            "obs_dir": obs_dir,
+            "step_count": step_count,
+            "drink_sat": drink_sat,
+            "food_sat": food_sat,
+            "visits": visits,
+            "safety": safety,
+            "safety2": safety2,
+            "t": t,
+            "key": S["key"],
+            "draw_ctr": S["draw_ctr"] + np.uint32(1),
+            "stats_rewards": S["stats_rewards"] + rewards,
+            "stats_episodes": S["stats_episodes"] + done.astype(_I32),
+        }
+        if collect_draws:
+            return out, {
+                "order": order,
+                "actions": actions,
+                "rewards": rewards,
+                "over": over,
+                "slots": draws,
+            }
+        return out
+
+    def _amount_for(self, ckey: str) -> int:
+        return {
+            "drink": self.cfg["amount_drink_holes"],
+            "food": self.cfg["amount_food_patches"],
+            "small_drink": self.cfg["amount_small_drink_holes"],
+            "small_food": self.cfg["amount_small_food_patches"],
+        }[ckey]
+
+    # ------------------------------------------------------------ backends
+
+    def _consts_jnp(self):
+        return {k: jnp.asarray(v) for k, v in self.consts.items()}
+
+    def _statics_jnp(self):
+        return {k: jnp.asarray(v) for k, v in self._statics_np.items()}
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
+    def _rollout_xla(self, S, statics, n_steps):
+        consts = self._consts_jnp()
+
+        def body(S, _):
+            return self._step(S, statics, consts), None
+
+        S, _ = jax.lax.scan(body, S, None, length=n_steps)
+        return S
+
+    def _rollout_pallas_call(self, S, statics, n_steps, tile, interpret):
+        B = S["t"].shape[1]
+        assert B % tile == 0, "batch must be a multiple of the lane tile"
+        grid = B // tile
+        const_names = sorted(self.consts)
+        static_names = sorted(self._statics_np)
+        state_names = list(self.STATE_FIELDS)
+
+        def kernel(*refs):
+            nc, ns = len(const_names), len(static_names)
+            consts = {
+                k: r[:] for k, r in zip(const_names, refs[:nc])
+            }
+            statics = {
+                k: r[:] for k, r in zip(static_names, refs[nc : nc + ns])
+            }
+            in_refs = refs[nc + ns : nc + ns + len(state_names)]
+            out_refs = refs[nc + ns + len(state_names) :]
+            Sk = {k: r[:] for k, r in zip(state_names, in_refs)}
+
+            def body(_, Sk):
+                return self._step(Sk, statics, consts)
+
+            Sk = jax.lax.fori_loop(0, n_steps, body, Sk)
+            for k, r in zip(state_names, out_refs):
+                r[:] = Sk[k]
+
+        def block(arr, batched):
+            d0 = arr.shape[0]
+            if not batched:
+                return pl.BlockSpec(
+                    (d0, 1), lambda g: (0, 0), memory_space=pltpu.VMEM
+                )
+            return pl.BlockSpec(
+                (d0, tile), lambda g: (0, g), memory_space=pltpu.VMEM
+            )
+
+        const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
+        static_vals = [jnp.asarray(self._statics_np[k]) for k in static_names]
+        state_vals = [S[k] for k in state_names]
+        out_shapes = [
+            jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[block(v, False) for v in const_vals]
+            + [block(v, True) for v in static_vals]
+            + [block(v, True) for v in state_vals],
+            out_specs=[block(v, True) for v in state_vals],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*const_vals, *static_vals, *state_vals)
+        return dict(zip(state_names, outs))
+
+    def rollout(self, S, n_steps, backend="pallas", tile=128, interpret=None):
+        """Advance the packed batch ``n_steps`` full MA steps."""
+        if backend == "xla":
+            return self._rollout_xla(S, self._statics_jnp(), n_steps)
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
+        cache_key = (n_steps, tile, interpret)
+        if not hasattr(self, "_pallas_cache"):
+            self._pallas_cache = {}
+        fn = self._pallas_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._rollout_pallas_call,
+                    n_steps=n_steps,
+                    tile=tile,
+                    interpret=interpret,
+                )
+            )
+            self._pallas_cache[cache_key] = fn
+        return fn(S, self._statics_jnp())
+
+    # ---------------------------------------------------------- interop
+
+    def step_xla(self, S, collect_draws=False):
+        """One un-jitted packed step (for tests)."""
+        return self._step(
+            S, self._statics_jnp(), self._consts_jnp(), collect_draws
+        )
+
+    def unpack_lane(self, S, lane: int):
+        """The packed lane as a per-env ``SavannaState`` (for tests)."""
+        from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+            SavannaState,
+        )
+
+        env = self.env
+        n, h, w = self.n, self.h, self.w
+        st = self._statics_np
+
+        def grid2d(field):
+            return jnp.asarray(
+                np.asarray(field[:, lane]).reshape(h, w) > 0.5
+            )
+
+        pos_flat = np.asarray(S["pos"][:, lane])
+        cfg = self.cfg
+        return SavannaState(
+            t=jnp.asarray(np.asarray(S["t"][0, lane]), _I32),
+            key=jax.random.PRNGKey(0),
+            pos=jnp.asarray(
+                np.stack([pos_flat // w, pos_flat % w], axis=1), _I32
+            ),
+            step_types=jnp.asarray(np.asarray(S["step_types"][:, lane])),
+            termination_reasons=jnp.asarray(np.asarray(S["reasons"][:, lane])),
+            action_direction=jnp.asarray(np.asarray(S["act_dir"][:, lane])),
+            observation_direction=jnp.asarray(
+                np.asarray(S["obs_dir"][:, lane])
+            ),
+            step_count=jnp.asarray(np.asarray(S["step_count"][:, lane])),
+            wall=grid2d(st["wall"]),
+            water=grid2d(st["water"]),
+            gold=grid2d(st["gold"]),
+            silver=grid2d(st["silver"]),
+            drink_curtain=grid2d(st["drink"]),
+            food_curtain=grid2d(st["food"]),
+            small_drink_curtain=grid2d(st["small_drink"]),
+            small_food_curtain=grid2d(st["small_food"]),
+            predator_curtain=jnp.asarray(
+                np.asarray(S["predator"][:, lane]).reshape(h, w) > 0.5
+            ),
+            drink_avail=jnp.float32(cfg["amount_drink_holes"]),
+            food_avail=jnp.float32(cfg["amount_food_patches"]),
+            small_drink_avail=jnp.float32(cfg["amount_small_drink_holes"]),
+            small_food_avail=jnp.float32(cfg["amount_small_food_patches"]),
+            drink_satiation=jnp.asarray(np.asarray(S["drink_sat"][:, lane])),
+            food_satiation=jnp.asarray(np.asarray(S["food_sat"][:, lane])),
+            visits=jnp.asarray(
+                np.asarray(S["visits"][:, lane]).reshape(n, 7)
+            ),
+            safety=jnp.asarray(np.asarray(S["safety"][:, lane])),
+            safety2=jnp.asarray(np.asarray(S["safety2"][:, lane])),
+        )

@@ -3,8 +3,8 @@
 Prints ONE JSON line per benchmark config:
 
   boat_race, boat_race_ex, island_navigation, island_navigation_ex
-  (default + full challenge-flag matrix), firemaker_ex_ma (fused pallas
-  multi-agent kernel)
+  (default + full challenge-flag matrix), firemaker_ex_ma and
+  aintelope_savanna (fused pallas multi-agent kernels)
 
 then a final headline line (the one the driver parses) carrying the
 firemaker number — the round's perf frontier — with every config's result
@@ -37,6 +37,7 @@ REFERENCE_STEPS_PER_SEC = {
     "island_navigation_ex": 1.376e3,
     "island_navigation_ex_full": 1.376e3,
     "firemaker_ex_ma": 607.0,
+    "aintelope_savanna": 1.251e3,
 }
 
 
@@ -53,11 +54,7 @@ def bench_scalar(name, env, n_steps=4096, n_reps=3):
     return out["steps_per_sec"]
 
 
-def bench_firemaker_fused(n_steps=256, n_reps=3):
-    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
-    from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
-
-    fused = FusedFiremaker(FiremakerExMa())
+def bench_fused(fused, n_steps=256, n_reps=3):
     S = fused.init_packed(seed=0, batch=BATCH)
     S = fused.rollout(S, n_steps)  # compile + warm-up
     jax.block_until_ready(S["t"])
@@ -66,6 +63,22 @@ def bench_firemaker_fused(n_steps=256, n_reps=3):
         S = fused.rollout(S, n_steps)
     jax.block_until_ready(S["t"])
     return n_reps * n_steps * BATCH / (time.perf_counter() - t0)
+
+
+def bench_firemaker_fused(n_steps=256, n_reps=3):
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+    from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
+
+    return bench_fused(FusedFiremaker(FiremakerExMa()), n_steps, n_reps)
+
+
+def bench_savanna_fused(n_steps=256, n_reps=3):
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+    from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
+
+    return bench_fused(FusedSavanna(AIntelopeSavanna()), n_steps, n_reps)
 
 
 def emit(name, sps, extra=None):
@@ -118,6 +131,11 @@ def main():
     for name, mk in configs:
         sps = bench_scalar(name, mk())
         results[name] = emit(name, sps)["value"]
+
+    sps = bench_savanna_fused()
+    results["aintelope_savanna"] = emit(
+        "aintelope_savanna", sps, extra={"kernel": "fused_pallas"}
+    )["value"]
 
     sps = bench_firemaker_fused()
     emit(

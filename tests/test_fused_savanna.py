@@ -1,0 +1,179 @@
+"""Fused savanna kernel: equivalence, bit-identity, and auto-reset.
+
+Mirrors ``tests/test_fused_firemaker.py``:
+
+1. **Semantic equivalence** — one fused packed step, with its internal
+   draws (agent order, actions, post-walk predator curtains) captured and
+   injected into the per-env ``apply_substep`` chain (the path that is
+   lockstep-tested against the reference). States and rewards must match
+   exactly for every batch lane — on the default config AND a rich
+   multi-agent config (predators, drink, gold, silver, water,
+   homeostasis, thirst death).
+2. **Bit-identity across backends** — XLA scan vs the pallas kernel.
+3. **Auto-reset bookkeeping** — truncation, FIRST restart, episode counts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_safety_gridworlds_tpu.core.timestep import StepType
+from ai_safety_gridworlds_tpu.envs.aintelope_savanna import AIntelopeSavanna
+from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
+
+RICH_KW = dict(
+    level=13,
+    amount_agents=2,
+    amount_predators=2,
+    amount_drink_holes=2,
+    amount_gold_deposits=2,
+    amount_silver_deposits=2,
+    amount_water_tiles=2,
+    penalise_oversatiation=True,
+    thirst_hunger_death=True,
+)
+
+
+def _run_equivalence(env, seed, steps, B=8):
+    fused = FusedSavanna(env)
+    S = fused.init_packed(seed=seed, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    n, h, w = fused.n, fused.h, fused.w
+    for step in range(steps):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                opts = {}
+                if dbg["slots"][slot]:
+                    opts["inj_predator_curtain"] = jnp.asarray(
+                        np.asarray(
+                            dbg["slots"][slot]["predator_after"]
+                        )[:, b].reshape(h, w)
+                    )
+                state_b, _ = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), opts or None, slot
+                )
+            state_b, _ = jax.jit(env.finalize_step)(
+                state_b, env.zero_rewards()
+            )
+            ref_state = fused.unpack_lane(S2, b)
+            for field in (
+                "t", "pos", "step_types", "termination_reasons",
+                "action_direction", "observation_direction", "step_count",
+                "predator_curtain", "drink_satiation", "food_satiation",
+                "visits", "safety", "safety2",
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(state_b, field)),
+                    np.asarray(getattr(ref_state, field)),
+                    err_msg=f"step {step} lane {b} field {field}",
+                )
+        S = S2
+    assert np.isfinite(np.asarray(S["stats_rewards"])).all()
+    return S
+
+
+def test_fused_step_matches_per_env_default_config():
+    _run_equivalence(AIntelopeSavanna(), seed=3, steps=10)
+
+
+def test_fused_step_matches_per_env_rich_config():
+    _run_equivalence(AIntelopeSavanna(**RICH_KW), seed=5, steps=10)
+
+
+def test_fused_rewards_match_per_env_substep_deltas():
+    """Per-step reward rows agree with the per-env sub-step deltas."""
+    env = AIntelopeSavanna(**RICH_KW)
+    fused = FusedSavanna(env)
+    B = 4
+    S = fused.init_packed(seed=11, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    n, h, w, D = fused.n, fused.h, fused.w, fused.D
+    for step in range(6):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        prev_stats = np.asarray(S["stats_rewards"])
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        fused_step_rewards = np.asarray(S2["stats_rewards"]) - prev_stats
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            total = np.zeros((n, D), np.float32)
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                opts = {}
+                if dbg["slots"][slot]:
+                    opts["inj_predator_curtain"] = jnp.asarray(
+                        np.asarray(
+                            dbg["slots"][slot]["predator_after"]
+                        )[:, b].reshape(h, w)
+                    )
+                state_b, delta = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), opts or None, slot
+                )
+                total += np.asarray(delta)
+            np.testing.assert_allclose(
+                fused_step_rewards[:, b].reshape(n, D), total,
+                rtol=0, atol=1e-5, err_msg=f"step {step} lane {b}",
+            )
+        S = S2
+
+
+def test_xla_pallas_bit_identity():
+    env = AIntelopeSavanna(**RICH_KW)
+    fused = FusedSavanna(env)
+    B = 256  # two lane tiles: exercises the pallas grid
+    S0 = fused.init_packed(seed=7, batch=B)
+    n_steps = 30
+    Sx = fused.rollout(dict(S0), n_steps, backend="xla")
+    Sp = fused.rollout(dict(S0), n_steps, backend="pallas", interpret=True)
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    assert np.asarray(Sx["t"]).max() > 0
+    assert np.abs(np.asarray(Sx["stats_rewards"])).sum() > 0
+
+
+def test_auto_reset_counts_episodes():
+    env = AIntelopeSavanna(max_iterations=8)
+    fused = FusedSavanna(env)
+    B = 32
+    S = fused.init_packed(seed=5, batch=B)
+    S = fused.rollout(S, 40, backend="xla")
+    eps = np.asarray(S["stats_episodes"])
+    # 8 sub-step frames / 1 agent = episodes of 8 steps + 1 reset step.
+    assert (eps >= 3).all() and (eps <= 5).all(), eps
+    types = np.asarray(S["step_types"])
+    assert set(np.unique(types)) <= {
+        int(StepType.FIRST), int(StepType.MID), int(StepType.LAST),
+    }
+
+
+def test_per_lane_maps_differ():
+    env = AIntelopeSavanna(**RICH_KW)
+    fused = FusedSavanna(env)
+    fused.init_packed(seed=1, batch=16)
+    food = fused._statics_np["food"]
+    # Map randomization: not all lanes share a layout.
+    assert np.unique(food.T, axis=0).shape[0] > 1
+
+
+def test_fused_requires_no_sustainability():
+    env = AIntelopeSavanna(sustainability_challenge=True)
+    with pytest.raises(NotImplementedError):
+        FusedSavanna(env)
