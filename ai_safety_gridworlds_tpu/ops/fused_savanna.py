@@ -159,9 +159,18 @@ class FusedSavanna:
         self.consts["cell_row"] = (cells // w).reshape(-1, 1)
         self.consts["cell_col"] = (cells % w).reshape(-1, 1)
 
-        # Draw sites per step: 0 actions, 1 permutation, 2 per slot
-        # (predator move mask, predator directions).
-        self.n_sites = 2 + 2 * self.n
+        # Draw sites per step: 0 actions, 1 permutation, 1 per slot (one
+        # hash word per cell: top 24 bits -> predator move uniform, low 2
+        # bits -> predator direction).
+        self.n_sites = 2 + self.n
+
+        # Static tile-code ids for the combined per-cell board (see
+        # ``init_packed``): exactly one char per cell, so codes are
+        # mutually exclusive.
+        self.tile_codes = {
+            "gap": 0, "wall": 1, "water": 2, "gold": 3, "silver": 4,
+            "drink": 5, "food": 6, "small_drink": 7, "small_food": 8,
+        }
 
     # ------------------------------------------------------------- packing
 
@@ -220,6 +229,47 @@ class FusedSavanna:
             pos0[i] = np.argmax(boards == ord(c), axis=0)
         statics["pos0"] = pos0
 
+        # Combined static per-cell board: tile code + 16 * min-Manhattan
+        # distance to water. One sum-reduction against the agent's
+        # position one-hot recovers, per sub-step, everything the kernel
+        # previously needed ~9 separate masked any()/min() reductions for
+        # (tile identity checks, the non-gap union, and the water safety
+        # distance).  Initial-predator cells keep code 0 (gap): the
+        # dynamic predator curtain is tracked separately, matching the
+        # unfused formulation where vacated predator cells read as gap.
+        code = np.zeros((HW, batch), np.float32)
+        for name, cid in self.tile_codes.items():
+            if cid:
+                code += cid * statics[name]
+        if env._has_water:
+            cells_i = np.arange(HW, dtype=np.int32)
+            rr, cc = cells_i // w, cells_i % w
+            d2 = (
+                np.abs(rr[:, None] - rr[None, :])
+                + np.abs(cc[:, None] - cc[None, :])
+            ).astype(np.int16)  # [HW, HW]
+            dist = np.full((HW, batch), 9999, np.int32)
+            water_b = statics["water"] > 0.5
+            for s in range(0, batch, 256):
+                wchunk = water_b[:, s : s + 256]  # [HW, bc]
+                dd = np.where(
+                    wchunk[None, :, :], d2[:, :, None].astype(np.int32), 9999
+                )
+                dist[:, s : s + 256] = dd.min(axis=1)
+            dist = np.where(dist > 98, 99, dist)
+        else:
+            dist = np.full((HW, batch), 99, np.int32)
+        sboard = code + 16.0 * dist.astype(np.float32)
+
+        # Only these boards enter the kernel; the full mask set stays on
+        # the host for tests/unpacking (``_statics_np``).
+        kstatics = {
+            "wall": statics["wall"],
+            "predator0": statics["predator0"],
+            "pos0": pos0,
+            "sboard": sboard,
+        }
+
         sat0 = {}
         cfg = env.cfg
         sat0["drink"] = float(
@@ -250,6 +300,7 @@ class FusedSavanna:
             "stats_episodes": jnp.zeros((1, batch), _I32),
         }
         self._statics_np = statics
+        self._kstatics_np = kstatics
         return state
 
     STATE_FIELDS = (
@@ -258,7 +309,7 @@ class FusedSavanna:
         "safety2", "t", "key", "draw_ctr", "stats_rewards",
         "stats_episodes",
     )
-    STATIC_FIELDS = _STATIC_MASKS + ("pos0",)
+    STATIC_FIELDS = ("wall", "predator0", "pos0", "sboard")
 
     # ----------------------------------------------------------- step body
 
@@ -270,16 +321,9 @@ class FusedSavanna:
         iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0)
         iota_hw = jax.lax.broadcasted_iota(_I32, (HW, 1), 0)
 
-        wall = statics["wall"] > 0.5
-        water = statics["water"] > 0.5
-        gold = statics["gold"] > 0.5
-        silver = statics["silver"] > 0.5
-        curtains = {
-            "drink": statics["drink"] > 0.5,
-            "food": statics["food"] > 0.5,
-            "small_drink": statics["small_drink"] > 0.5,
-            "small_food": statics["small_food"] > 0.5,
-        }
+        wall_f = statics["wall"]
+        sboard = statics["sboard"]
+        codes = self.tile_codes
         pos0 = statics["pos0"].astype(_I32)
 
         # ---- auto-reset lanes whose episode ended last step ----------------
@@ -404,7 +448,9 @@ class FusedSavanna:
             cand = jnp.clip(pos_i + flat_delta, 0, HW - 1)
             cand_oh = iota_hw == cand
             occ = jnp.any((pos == cand) & ~sel, axis=0, keepdims=True)
-            wall_at = jnp.any(cand_oh & wall, axis=0, keepdims=True)
+            wall_at = (
+                jnp.sum(cand_oh * wall_f, axis=0, keepdims=True) > 0.5
+            )
             moved = active & ~is_noop & ~wall_at & ~occ
             new_pos_i = jnp.where(moved, cand, pos_i)
             pos = jnp.where(sel, new_pos_i, pos)
@@ -419,6 +465,17 @@ class FusedSavanna:
             )
 
             np_oh = iota_hw == new_pos_i
+            np_oh_f = np_oh.astype(_F32)
+
+            # --- decode the combined static board at the new position -------
+            # One reduction yields tile code + water distance; a second
+            # yields dynamic predator occupancy.
+            v_at = jnp.sum(np_oh_f * sboard, axis=0, keepdims=True)
+            dw_at = jnp.floor(v_at * _F32(1.0 / 16.0))
+            code_at = v_at - 16.0 * dw_at
+            pred_at = (
+                jnp.sum(np_oh_f * predator_f, axis=0, keepdims=True) > 0.5
+            )
 
             # --- satiation decrements + thirst/hunger death -----------------
             sat_sel = sel_f * activef
@@ -450,10 +507,7 @@ class FusedSavanna:
                         limit, visit_col, enabled, gate):
                 if not enabled:
                     return rewards, sat, jnp.zeros_like(active)
-                on_tile = (
-                    jnp.any(np_oh & curtains[ckey], axis=0, keepdims=True)
-                    & active & gate
-                )
+                on_tile = (code_at == float(codes[ckey])) & active & gate
                 onf = on_tile.astype(_F32)
                 nonlocal visits
                 visits = visits + (
@@ -513,15 +567,15 @@ class FusedSavanna:
             )
 
             # --- gold/silver log-scaled rewards -----------------------------
-            for mask_, score_key, col, base_key in (
-                (gold, "GOLD_SCORE", 5, "GOLD_VISITS_LOG_BASE"),
-                (silver, "SILVER_SCORE", 6, "SILVER_VISITS_LOG_BASE"),
+            for tkey, score_key, col, base_key in (
+                ("gold", "GOLD_SCORE", 5, "GOLD_VISITS_LOG_BASE"),
+                ("silver", "SILVER_SCORE", 6, "SILVER_VISITS_LOG_BASE"),
             ):
                 if not (
                     env._has_gold if col == 5 else env._has_silver
                 ):
                     continue
-                on_it = jnp.any(np_oh & mask_, axis=0, keepdims=True) & active
+                on_it = (code_at == float(codes[tkey])) & active
                 prevv = jnp.sum(
                     jnp.where(
                         (vrow_agent == i) & (vrow_col == col), visits, 0
@@ -542,13 +596,7 @@ class FusedSavanna:
 
             # --- gap visit ---------------------------------------------------
             others = jnp.any((pos == new_pos_i) & ~sel, axis=0, keepdims=True)
-            nongap_board = wall | water | gold | silver | predator
-            for c in curtains.values():
-                nongap_board = nongap_board | c
-            nongap = (
-                jnp.any(np_oh & nongap_board, axis=0, keepdims=True) | others
-            )
-            on_gap = ~nongap & active
+            on_gap = (code_at == 0.0) & ~pred_at & ~others & active
             visits = visits + (
                 (vrow_agent == i) & (vrow_col == 0)
             ).astype(_I32) * on_gap.astype(_I32)
@@ -601,29 +649,25 @@ class FusedSavanna:
             )
 
             # --- safety distances (``engine_substep:1553-1575``) ------------
-            if env._has_water or env._has_predators:
+            # Water distances come precomputed from the static board; only
+            # the (dynamic) predator distance needs an on-line reduction.
+            if env._has_water:
+                safety = jnp.where(
+                    sel & active, dw_at.astype(_I32), safety
+                )
+            if env._has_predators:
                 nr = new_pos_i // W
                 nc = new_pos_i % W
                 manh = jnp.abs(cell_row - nr) + jnp.abs(cell_col - nc)
-
-                def min_dist(mask_):
-                    d = jnp.min(
-                        jnp.where(mask_, manh, 9999), axis=0, keepdims=True
-                    )
-                    return jnp.where(d > 98, 99, d).astype(_I32)
-
-                if env._has_water:
-                    safety = jnp.where(
-                        sel & active, min_dist(water), safety
-                    )
-                if env._has_predators:
-                    safety2 = jnp.where(
-                        sel & active, min_dist(predator), safety2
-                    )
+                d = jnp.min(
+                    jnp.where(predator, manh, 9999), axis=0, keepdims=True
+                )
+                d = jnp.where(d > 98, 99, d).astype(_I32)
+                safety2 = jnp.where(sel & active, d, safety2)
 
             # --- water penalty ----------------------------------------------
             if env._has_water:
-                on_water = jnp.any(np_oh & water, axis=0, keepdims=True) & active
+                on_water = (code_at == float(codes["water"])) & active
                 rewards = addr(
                     rewards, "DANGER_TILE_SCORE", sel_nd,
                     on_water.astype(_F32),
@@ -631,9 +675,7 @@ class FusedSavanna:
 
             # --- predators (``engine_substep:1585-1657``) -------------------
             if env._has_predators:
-                on_pred = (
-                    jnp.any(np_oh & predator, axis=0, keepdims=True) & active
-                )
+                on_pred = pred_at & active
                 rewards = addr(
                     rewards, "PREDATOR_NPC_SCORE", sel_nd,
                     on_pred.astype(_F32),
@@ -650,21 +692,19 @@ class FusedSavanna:
                     keepdims=True,
                 )
                 is_last = (cmax == cmin) & (cmax > 0)
-                u_move = prng.uniform(
-                    key_hi, key_lo, ctr0 + np.uint32(2 + 2 * slot), iota_hw
+                # One hash word per cell covers both predator draws: the
+                # top 24 bits give the movement uniform, the low 2 bits an
+                # independent direction (murmur3 finalizer bits avalanche).
+                bits = prng.hash_u32(
+                    key_hi, key_lo, ctr0 + np.uint32(2 + slot), iota_hw
                 )
-                u_dir = prng.uniform(
-                    key_hi, key_lo, ctr0 + np.uint32(3 + 2 * slot), iota_hw
-                )
+                u_move = prng.uniform01(bits)
                 move_mask = (
                     (u_move < self.pred_move_p) & predator & is_last
                     & ~player_cells
                 )
-                dirs = jnp.clip(
-                    1 + jnp.floor(u_dir * 4.0).astype(_I32), 1, 4
-                )
+                dirs = 1 + (bits & np.uint32(3)).astype(_I32)
                 cur_f = predator_f
-                wall_f = statics["wall"]
                 for d_id in range(1, 5):
                     dr, dc = np.asarray(ACTION_DELTAS_MO)[d_id]
                     shift = int(dr * W + dc)
@@ -672,20 +712,19 @@ class FusedSavanna:
                         move_mask & (dirs == d_id) & (cur_f > 0.5)
                     )
                     # target cell t = c + shift: free iff no predator/wall
-                    # there (border walls absorb the roll wrap-around;
-                    # rolls stay in f32 — Mosaic has no i1 vector roll).
+                    # there — one roll of the {0,1}-valued occupancy sum
+                    # (border walls absorb the roll wrap-around; rolls stay
+                    # in f32 — Mosaic has no i1 vector roll).
                     tgt_free = (
-                        (jnp.roll(cur_f, -shift, axis=0) < 0.5)
-                        & (jnp.roll(wall_f, -shift, axis=0) < 0.5)
+                        jnp.roll(cur_f + wall_f, -shift, axis=0) < 0.5
                     )
                     movers = movers & tgt_free
                     mf = movers.astype(_F32)
                     cur_f = cur_f - mf + jnp.roll(mf, shift, axis=0)
                 cur = cur_f > 0.5
                 landed_on_me = (
-                    jnp.any(np_oh & cur, axis=0, keepdims=True)
-                    & ~jnp.any(np_oh & predator, axis=0, keepdims=True)
-                    & active
+                    (jnp.sum(np_oh_f * cur_f, axis=0, keepdims=True) > 0.5)
+                    & ~pred_at & active
                 )
                 rewards = addr(
                     rewards, "PREDATOR_NPC_SCORE", sel_nd,
@@ -754,7 +793,7 @@ class FusedSavanna:
         return {k: jnp.asarray(v) for k, v in self.consts.items()}
 
     def _statics_jnp(self):
-        return {k: jnp.asarray(v) for k, v in self._statics_np.items()}
+        return {k: jnp.asarray(v) for k, v in self._kstatics_np.items()}
 
     @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
     def _rollout_xla(self, S, statics, n_steps):
@@ -771,7 +810,7 @@ class FusedSavanna:
         assert B % tile == 0, "batch must be a multiple of the lane tile"
         grid = B // tile
         const_names = sorted(self.consts)
-        static_names = sorted(self._statics_np)
+        static_names = sorted(self._kstatics_np)
         state_names = list(self.STATE_FIELDS)
 
         def kernel(*refs):
@@ -804,7 +843,7 @@ class FusedSavanna:
             )
 
         const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
-        static_vals = [jnp.asarray(self._statics_np[k]) for k in static_names]
+        static_vals = [jnp.asarray(self._kstatics_np[k]) for k in static_names]
         state_vals = [S[k] for k in state_names]
         out_shapes = [
             jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals
@@ -821,7 +860,7 @@ class FusedSavanna:
         )(*const_vals, *static_vals, *state_vals)
         return dict(zip(state_names, outs))
 
-    def rollout(self, S, n_steps, backend="pallas", tile=128, interpret=None):
+    def rollout(self, S, n_steps, backend="pallas", tile=256, interpret=None):
         """Advance the packed batch ``n_steps`` full MA steps."""
         if backend == "xla":
             return self._rollout_xla(S, self._statics_jnp(), n_steps)

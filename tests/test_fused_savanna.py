@@ -136,11 +136,13 @@ def test_fused_rewards_match_per_env_substep_deltas():
 def test_xla_pallas_bit_identity():
     env = AIntelopeSavanna(**RICH_KW)
     fused = FusedSavanna(env)
-    B = 256  # two lane tiles: exercises the pallas grid
+    B = 256  # two lane tiles at tile=128: exercises the pallas grid
     S0 = fused.init_packed(seed=7, batch=B)
     n_steps = 30
     Sx = fused.rollout(dict(S0), n_steps, backend="xla")
-    Sp = fused.rollout(dict(S0), n_steps, backend="pallas", interpret=True)
+    Sp = fused.rollout(
+        dict(S0), n_steps, backend="pallas", tile=128, interpret=True
+    )
     for k in fused.STATE_FIELDS:
         np.testing.assert_array_equal(
             np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
