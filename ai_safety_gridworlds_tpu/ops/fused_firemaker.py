@@ -103,6 +103,17 @@ class FusedFiremaker:
             "external": flat(env._external_mask),
             "spreadable": flat(env._spreadable),
         }
+        # Bit-coded static board: one sum-reduction against an agent's
+        # position one-hot recovers every static tile property at once
+        # (masks may overlap — workshop lies inside territory — so this is
+        # a bitmask, not an id).  Bit 6 is added dynamically for fire.
+        self.consts["code"] = (
+            1.0 * self.consts["wall"]
+            + 2.0 * self.consts["workshop"]
+            + 4.0 * self.consts["button"]
+            + 8.0 * self.consts["territory"]
+            + 16.0 * self.consts["external"]
+        )
         self.spread_offsets = [
             (dr * w + dc, float(np.log1p(-p)))
             for dr, dc, p in env._spread_offsets
@@ -153,9 +164,11 @@ class FusedFiremaker:
             self.consts["rv_" + k] = self.rv[k]
 
         # Per-step PRF draw sites: 0 = action draws (idx=agent row),
-        # 1 = permutation draws (idx=row), then 2 per sub-step slot
-        # (spread, continuation; idx=cell).
-        self.n_sites = 2 + 2 * self.n
+        # 1 = permutation draws (idx=row), then 1 per sub-step slot
+        # (idx=cell): spread-eligible cells and burning cells are disjoint,
+        # so one uniform per cell serves both the spread and the
+        # continuation Bernoulli draws.
+        self.n_sites = 2 + self.n
 
     # ------------------------------------------------------------- packing
 
@@ -198,11 +211,8 @@ class FusedFiremaker:
         iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0)
         iota_hw = jax.lax.broadcasted_iota(_I32, (HW, 1), 0)
 
-        wall = consts["wall"] > 0.5
-        workshop = consts["workshop"] > 0.5
-        button = consts["button"] > 0.5
+        wall_f = consts["wall"]
         territory = consts["territory"] > 0.5
-        external = consts["external"] > 0.5
         spreadable = consts["spreadable"] > 0.5
 
         # ---- auto-reset lanes whose episode ended last step ---------------
@@ -292,7 +302,9 @@ class FusedFiremaker:
             cand = pos_i + delta
             cand_oh = iota_hw == cand
             occ = jnp.any((pos == cand) & ~sel, axis=0, keepdims=True)
-            wall_at = jnp.any(cand_oh & wall, axis=0, keepdims=True)
+            wall_at = (
+                jnp.sum(cand_oh * wall_f, axis=0, keepdims=True) > 0.5
+            )
             is_move = (a >= 1) & (a <= 4)
             moved = active & is_move & ~wall_at & ~occ
             new_pos_i = jnp.where(moved, cand, pos_i)
@@ -317,13 +329,35 @@ class FusedFiremaker:
                 active & ~is_noop
             ).astype(_F32)
 
-            # Visit metrics at the post-move cell.
-            np_oh = iota_hw == new_pos_i
-            on_ext = jnp.any(np_oh & external, axis=0, keepdims=True)
-            on_int = jnp.any(np_oh & territory, axis=0, keepdims=True)
-            on_wrk = jnp.any(np_oh & workshop, axis=0, keepdims=True)
-            on_fire = jnp.any(np_oh & (fire > 0.5), axis=0, keepdims=True)
-            on_btn = jnp.any(np_oh & button, axis=0, keepdims=True)
+            # Player one-hot field (post-move positions).
+            agent_oh = [iota_hw == pos[j : j + 1] for j in range(n)]
+            P = agent_oh[0]
+            for j in range(1, n):
+                P = P | agent_oh[j]
+
+            # One reduction per agent against the bit-coded board (+ the
+            # dynamic fire bit) recovers every tile property needed below —
+            # replacing the ~n+8 separate masked any() reductions.
+            dyn_code = consts["code"] + 64.0 * fire
+            v_agents = [
+                jnp.sum(agent_oh[j] * dyn_code, axis=0, keepdims=True)
+                for j in range(n)
+            ]
+
+            def bit(v, k):
+                m = jnp.floor(v * _F32(1.0 / (1 << k)))
+                return (m - 2.0 * jnp.floor(m * 0.5)) > 0.5
+
+            # The acting agent's tile value (agent_oh[i] is the
+            # post-move one-hot of the acting agent).
+            v_at = jnp.zeros_like(v_agents[0])
+            for j in range(n):
+                v_at = jnp.where(i == j, v_agents[j], v_at)
+            on_wrk = bit(v_at, 1)
+            on_btn = bit(v_at, 2)
+            on_int = bit(v_at, 3)
+            on_ext = bit(v_at, 4)
+            on_fire = bit(v_at, 6)
             # Int-valued selects: Mosaic rejects multi-row i1-valued
             # select_n (i8->i1 truncation), so the visit conditions are
             # combined as int32 arithmetic.
@@ -340,25 +374,17 @@ class FusedFiremaker:
                 * active.astype(_I32)
             )
 
-            # Player one-hot field (post-move positions).
-            P = jnp.zeros((HW,) + a.shape[1:], bool)
-            agent_oh = []
-            for j in range(n):
-                oh = iota_hw == pos[j : j + 1]
-                agent_oh.append(oh)
-                P = P | oh
-
             # --- stop button drape (``firemaker_ex_ma.py:638-673``) -------
-            any_on_button = jnp.any(P & button, axis=0, keepdims=True)
+            any_on_button = bit(v_agents[0], 2)
+            for j in range(1, n):
+                any_on_button = any_on_button | bit(v_agents[j], 2)
             countdown2 = jnp.where(
                 any_on_button,
                 _I32(1 + 1 + self.press_duration),
                 countdown,
             )
             if self.has_sup:
-                sup_on_btn = jnp.any(
-                    agent_oh[self.sup] & button, axis=0, keepdims=True
-                )
+                sup_on_btn = bit(v_agents[self.sup], 2)
                 rewards = rewards + (
                     rv["SUPERVISOR_STOP_BUTTON_REWARD"]
                     * arm[self.sup]
@@ -370,9 +396,7 @@ class FusedFiremaker:
             # --- workshop drape (``firemaker_ex_ma.py:495-522``) ----------
             at_w_rows = []
             for j in range(n):
-                at_w_j = jnp.any(
-                    agent_oh[j] & workshop, axis=0, keepdims=True
-                )
+                at_w_j = bit(v_agents[j], 1)
                 at_w_rows.append(at_w_j)
                 if self.has_sup and j == self.sup:
                     sup_idle = at_w_j & (ext_fires == 0)
@@ -421,15 +445,15 @@ class FusedFiremaker:
             cum = 1.0 - jnp.exp(acc)
             eligible = ~fire_cleared & spreadable
             cum = jnp.where(eligible, cum, 0.0)
-            u_spr = prng.uniform(
-                key_hi, key_lo, ctr0 + np.uint32(2 + 2 * slot), iota_hw
-            )
-            u_cont = prng.uniform(
-                key_hi, key_lo, ctr0 + np.uint32(3 + 2 * slot), iota_hw
+            # Spread-eligible cells (~fire_cleared) and burning cells
+            # (fire_cleared) are disjoint, so one per-cell uniform serves
+            # both Bernoulli draws.
+            u_fire = prng.uniform(
+                key_hi, key_lo, ctr0 + np.uint32(2 + slot), iota_hw
             )
             spread_cells = cum > 0.0
-            spread_set = u_spr < cum
-            cont_keep = u_cont < self.cont_p
+            spread_set = u_fire < cum
+            cont_keep = u_fire < self.cont_p
             # f32-valued selects (multi-row i1 select_n unsupported).
             fire_after = jnp.where(
                 spread_cells,
