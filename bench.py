@@ -3,8 +3,9 @@
 Prints ONE JSON line per benchmark config:
 
   boat_race, boat_race_ex, island_navigation, island_navigation_ex
-  (default + full challenge-flag matrix), firemaker_ex_ma and
-  aintelope_savanna (fused pallas multi-agent kernels)
+  (default + full challenge-flag matrix), and the three multi-agent
+  flagships firemaker_ex_ma, aintelope_savanna, island_navigation_ex_ma
+  (fused pallas kernels)
 
 then a final headline line (the one the driver parses) carrying the
 firemaker number — the round's perf frontier — with every config's result
@@ -21,7 +22,8 @@ vs_baseline divides by the reference's single-stream CPU steps/s measured
 on this machine (the reference publishes no numbers, BASELINE.md):
 
   boat_race 4846, island_navigation 6232, boat_race_ex 1746,
-  island_navigation_ex 1376, firemaker_ex_ma 607.
+  island_navigation_ex 1376, firemaker_ex_ma 607, aintelope_savanna 1251,
+  island_navigation_ex_ma 964.
 """
 
 import json
@@ -38,6 +40,7 @@ REFERENCE_STEPS_PER_SEC = {
     "island_navigation_ex_full": 1.376e3,
     "firemaker_ex_ma": 607.0,
     "aintelope_savanna": 1.251e3,
+    "island_navigation_ex_ma": 964.0,
 }
 
 
@@ -79,6 +82,15 @@ def bench_savanna_fused(n_steps=256, n_reps=3):
     from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
 
     return bench_fused(FusedSavanna(AIntelopeSavanna()), n_steps, n_reps)
+
+
+def bench_island_ma_fused(n_steps=256, n_reps=3):
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+        IslandNavigationExMa,
+    )
+    from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
+
+    return bench_fused(FusedIslandMa(IslandNavigationExMa()), n_steps, n_reps)
 
 
 def emit(name, sps, extra=None):
@@ -135,6 +147,11 @@ def main():
     sps = bench_savanna_fused()
     results["aintelope_savanna"] = emit(
         "aintelope_savanna", sps, extra={"kernel": "fused_pallas"}
+    )["value"]
+
+    sps = bench_island_ma_fused()
+    results["island_navigation_ex_ma"] = emit(
+        "island_navigation_ex_ma", sps, extra={"kernel": "fused_pallas"}
     )["value"]
 
     sps = bench_firemaker_fused()
