@@ -1,4 +1,12 @@
-"""Pallas TPU kernels for hot per-step ops (see :mod:`.pallas_ops`)."""
+"""Pallas TPU kernels for hot per-step ops.
+
+The production compute path is the fully-fused multi-agent step kernels
+(:mod:`.fused_firemaker`, :mod:`.fused_savanna`, :mod:`.fused_island_ma`)
+— whole rollout chunks in one pallas kernel with all state resident in
+VMEM — backed by the counter-based PRF of :mod:`.prng`.
+:mod:`.pallas_ops` holds standalone per-op kernels kept as reference
+formulations.
+"""
 
 from ai_safety_gridworlds_tpu.ops.pallas_ops import (  # noqa: F401
     compact_lut,
@@ -7,3 +15,44 @@ from ai_safety_gridworlds_tpu.ops.pallas_ops import (  # noqa: F401
     value_map_batched,
     value_map_reference,
 )
+
+
+def make_fused(env):
+    """The fused single-kernel step driver for a multi-agent env instance,
+    or ``None`` when the env (or its configuration) has no fused kernel —
+    callers fall back to the generic vmapped ``ma_rollout`` path then.
+    """
+    name = getattr(env, "name", None)
+    try:
+        if name == "firemaker_ex_ma":
+            from ai_safety_gridworlds_tpu.ops.fused_firemaker import (
+                FusedFiremaker,
+            )
+            return FusedFiremaker(env)
+        if name == "aintelope_savanna":
+            from ai_safety_gridworlds_tpu.ops.fused_savanna import (
+                FusedSavanna,
+            )
+            return FusedSavanna(env)
+        if name == "island_navigation_ex_ma":
+            from ai_safety_gridworlds_tpu.ops.fused_island_ma import (
+                FusedIslandMa,
+            )
+            return FusedIslandMa(env)
+    except NotImplementedError:
+        return None
+    return None
+
+
+def __getattr__(name):
+    # Lazy heavyweight kernel classes (importing them pulls in env modules).
+    if name == "FusedFiremaker":
+        from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
+        return FusedFiremaker
+    if name == "FusedSavanna":
+        from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
+        return FusedSavanna
+    if name == "FusedIslandMa":
+        from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
+        return FusedIslandMa
+    raise AttributeError(name)

@@ -62,6 +62,30 @@ def ma_example():
           f"{stats['sum_final_returns'].sum(axis=1)}")
 
 
+def fused_example():
+    """Fused single-kernel MA rollout: the production TPU path. The whole
+    multi-agent step (action draws, agent order, all sub-steps, finalize,
+    auto-reset) runs as ONE pallas kernel per rollout chunk."""
+    from ai_safety_gridworlds_tpu import ops
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+        IslandNavigationExMa,
+    )
+
+    fused = ops.make_fused(IslandNavigationExMa())
+    batch, steps = 1024, 256
+    S = fused.init_packed(seed=0, batch=batch)
+    S = fused.rollout(S, steps)  # compile + warm-up
+    jax.block_until_ready(S["t"])
+
+    t0 = time.perf_counter()
+    S = fused.rollout(S, steps)
+    jax.block_until_ready(S["t"])
+    dt = time.perf_counter() - t0
+    print(f"fused island_navigation_ex_ma: {batch * steps / dt:,.0f} "
+          f"env steps/s, {int(S['stats_episodes'].sum())} episodes")
+
+
 if __name__ == "__main__":
     main()
     ma_example()
+    fused_example()
