@@ -39,18 +39,14 @@ modes fall back to the generic path.
 
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ai_safety_gridworlds_tpu.core.actions import ActionsMo
 from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
 from ai_safety_gridworlds_tpu.ops import prng
+from ai_safety_gridworlds_tpu.ops.fused_base import FusedMaBase
 
 _I32 = jnp.int32
 _F32 = jnp.float32
@@ -66,8 +62,10 @@ NOOP = int(ActionsMo.NOOP)
 QUIT = int(ActionsMo.QUIT)
 
 
-class FusedFiremaker:
+class FusedFiremaker(FusedMaBase):
     """Packed batched firemaker with a single-kernel step/rollout."""
+
+    DEFAULT_TILE = 128  # larger tiles exceed this kernel's VMEM optimum
 
     def __init__(self, env):
         if env.action_direction_mode != 0 or env.observation_direction_mode != 0:
@@ -163,6 +161,8 @@ class FusedFiremaker:
         for k in self.rv:
             self.consts["rv_" + k] = self.rv[k]
 
+        self._kstatics_np = {}
+
         # Per-step PRF draw sites: 0 = action draws (idx=agent row),
         # 1 = permutation draws (idx=row), then 1 per sub-step slot
         # (idx=cell): spread-eligible cells and burning cells are disjoint,
@@ -199,10 +199,13 @@ class FusedFiremaker:
 
     # ----------------------------------------------------------- step body
 
-    def _step(self, S: dict, consts: dict, collect_draws: bool = False):
+    def _step(self, S: dict, statics: dict, consts: dict,
+              collect_draws: bool = False):
         """One full MA step on packed arrays. Pure jnp; runs under XLA or
         inside a pallas kernel. Returns the updated dict (and the raw draw
-        fields when ``collect_draws`` — used by the equivalence test)."""
+        fields when ``collect_draws`` — used by the equivalence test).
+        ``statics`` is empty: this kernel's boards are lane-invariant and
+        ride in ``consts``."""
         n, D, HW = self.n, self.D, self.HW
         W = self.w
         key_hi = S["key"][0:1]
@@ -231,34 +234,9 @@ class FusedFiremaker:
         t = jnp.where(over, 0, S["t"])
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
-
-        # ---- per-agent action draws (uniform over the action range) -------
-        u_act = prng.uniform(key_hi, key_lo, ctr0, iota_n)
-        actions = self.amin + jnp.floor(
-            u_act * (self.amax - self.amin + 1)
-        ).astype(_I32)
-        actions = jnp.clip(actions, self.amin, self.amax)
-        # Reset lanes emit FIRST without stepping; dead agents are excluded
-        # from the reference actions dict (``pycolab_interface_ma.py:183``).
-        actions = jnp.where(over | (reasons != NONE), -1, actions)
-
-        # ---- randomized agent order: Fisher–Yates over [n] ---------------
-        order = jnp.tile(iota_n, (1, actions.shape[1]))
-        if self.env.randomize_agent_actions_order and n > 1:
-            u_perm = prng.uniform(
-                key_hi, key_lo, ctr0 + np.uint32(1), iota_n
-            )
-            for k in range(n - 1, 0, -1):
-                jidx = jnp.floor(u_perm[k : k + 1] * (k + 1)).astype(_I32)
-                jidx = jnp.clip(jidx, 0, k)
-                vk = order[k : k + 1]
-                vj = jnp.sum(
-                    jnp.where(iota_n == jidx, order, 0),
-                    axis=0,
-                    keepdims=True,
-                )
-                order = jnp.where(iota_n == jidx, vk, order)
-                order = jnp.where(iota_n == k, vj, order)
+        actions, order = self._draw_actions_and_order(
+            S, over, reasons, ctr0, iota_n
+        )
 
         rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)
         row_agent = consts["row_agent"]
@@ -270,13 +248,9 @@ class FusedFiremaker:
 
         for slot in range(n):
             i = order[slot : slot + 1]  # [1, B] acting agent index
+            # One-hot extraction returns actions[i] verbatim (incl. -1).
             a = jnp.sum(
                 jnp.where(iota_n == i, actions, 0), axis=0, keepdims=True
-            )
-            a = jnp.where(
-                jnp.any((iota_n == i) & (actions < 0), axis=0, keepdims=True),
-                -1,
-                a,
             )
             acting = a >= 0
             actf = acting.astype(_F32)
@@ -504,16 +478,7 @@ class FusedFiremaker:
             at_work = jnp.where(acting, at_work2, at_work)
 
         # ---- finalize (``MaSafetyGridworld.finalize_step``) ---------------
-        truncated = t >= self.max_iterations
-        game_over_pa = truncated | (reasons != NONE)
-        prev = types
-        new_types = jnp.where(
-            game_over_pa,
-            jnp.where((prev == MID) | (prev == FIRST), LAST, DEAD),
-            MID,
-        )
-        types = jnp.where(over, FIRST, new_types)
-        done = jnp.all(game_over_pa, axis=0, keepdims=True) & ~over
+        types, done = self._finalize_types(t, reasons, types, over)
 
         out = {
             "fire": fire,
@@ -540,107 +505,7 @@ class FusedFiremaker:
             }
         return out
 
-    # ------------------------------------------------------------ backends
-
-    def _consts_jnp(self):
-        return {k: jnp.asarray(v) for k, v in self.consts.items()}
-
-    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
-    def _rollout_xla(self, S, n_steps):
-        consts = self._consts_jnp()
-
-        def body(S, _):
-            return self._step(S, consts), None
-
-        S, _ = jax.lax.scan(body, S, None, length=n_steps)
-        return S
-
-    def _rollout_pallas_call(self, S, n_steps, tile, interpret):
-        n, D, HW = self.n, self.D, self.HW
-        B = S["fire"].shape[1]
-        assert B % tile == 0, "batch must be a multiple of the lane tile"
-        grid = B // tile
-        const_names = sorted(self.consts)
-        state_names = list(self.STATE_FIELDS)
-
-        def kernel(*refs):
-            const_refs = refs[: len(const_names)]
-            in_refs = refs[len(const_names) : len(const_names) + len(state_names)]
-            out_refs = refs[len(const_names) + len(state_names) :]
-            consts = {
-                k: r[:] for k, r in zip(const_names, const_refs)
-            }
-            Sk = {k: r[:] for k, r in zip(state_names, in_refs)}
-
-            def body(_, Sk):
-                return self._step(Sk, consts)
-
-            Sk = jax.lax.fori_loop(0, n_steps, body, Sk)
-            for k, r in zip(state_names, out_refs):
-                r[:] = Sk[k]
-
-        def block(arr, is_const):
-            d0 = arr.shape[0]
-            if is_const:
-                return pl.BlockSpec(
-                    (d0, 1), lambda g: (0, 0), memory_space=pltpu.VMEM
-                )
-            return pl.BlockSpec(
-                (d0, tile), lambda g: (0, g), memory_space=pltpu.VMEM
-            )
-
-        const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
-        state_vals = [S[k] for k in state_names]
-        out_shapes = [
-            jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[block(v, True) for v in const_vals]
-            + [block(v, False) for v in state_vals],
-            out_specs=[block(v, False) for v in state_vals],
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(*const_vals, *state_vals)
-        return dict(zip(state_names, outs))
-
-    def rollout(self, S, n_steps, backend="pallas", tile=128,
-                interpret=None):
-        """Advance the packed batch ``n_steps`` full MA steps.
-
-        Returns the updated packed state; cumulative reward sums and
-        episode counts accumulate in ``stats_rewards``/``stats_episodes``.
-        """
-        if backend == "xla":
-            return self._rollout_xla(S, n_steps)
-        if interpret is None:
-            # The axon remote-TPU plugin reports platform "axon", not
-            # "tpu" — only a true CPU backend falls back to the interpreter.
-            interpret = jax.devices()[0].platform == "cpu"
-        # Cache the jitted entry per configuration: a fresh jit wrapper per
-        # call would retrace and recompile every rollout.
-        cache_key = (n_steps, tile, interpret)
-        if not hasattr(self, "_pallas_cache"):
-            self._pallas_cache = {}
-        fn = self._pallas_cache.get(cache_key)
-        if fn is None:
-            fn = jax.jit(
-                functools.partial(
-                    self._rollout_pallas_call,
-                    n_steps=n_steps,
-                    tile=tile,
-                    interpret=interpret,
-                )
-            )
-            self._pallas_cache[cache_key] = fn
-        return fn(S)
-
     # ---------------------------------------------------------- interop
-
-    def step_xla(self, S, collect_draws=False):
-        """One un-jitted packed step (for tests)."""
-        return self._step(S, self._consts_jnp(), collect_draws)
 
     def unpack_lane(self, S, lane: int):
         """The packed lane as a per-env ``FiremakerState`` (for tests /

@@ -40,8 +40,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ai_safety_gridworlds_tpu.core.actions import (
     ACTION_DELTAS_MO,
@@ -52,6 +50,7 @@ from ai_safety_gridworlds_tpu.core.actions import (
 )
 from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
 from ai_safety_gridworlds_tpu.ops import prng
+from ai_safety_gridworlds_tpu.ops.fused_base import FusedMaBase, min_water_dist
 
 _I32 = jnp.int32
 _F32 = jnp.float32
@@ -88,10 +87,21 @@ def _table_sel(table_2d, action_ids, dir_ids):
     return out
 
 
-class FusedIslandMa:
+class FusedIslandMa(FusedMaBase):
     """Packed batched island_navigation_ex_ma with a single-kernel step."""
 
+    DEFAULT_TILE = 1024  # tiny per-lane VMEM footprint -> wide tiles win
+
     def __init__(self, env):
+        if (
+            env.observation_direction_mode == 2
+            and env.action_direction_mode == 0
+        ):
+            # Match the per-env path (``core/actions.py:217-219``), which
+            # rejects this combination.
+            raise NotImplementedError(
+                "observation mode 2 with fixed action mode"
+            )
         self.env = env
         self.n = env.n_agents
         self.D = env.reward_space.n_dims
@@ -186,18 +196,9 @@ class FusedIslandMa:
         code += TILE_CODES["wall"] * (boards == ord(WALL_CHR))
         # Min-Manhattan distance to water per lane (99 when none), matching
         # ``_apply_board``'s ``_water_dist`` table exactly.
-        cells = np.arange(HW, dtype=np.int32)
-        rr, cc = cells // w, cells % w
-        d2 = (
-            np.abs(rr[:, None] - rr[None, :])
-            + np.abs(cc[:, None] - cc[None, :])
-        ).astype(np.int32)
-        water_b = boards == ord(self._chr["water"])
-        dist = np.full((HW, batch), 99, np.int32)
-        for s in range(0, batch, 256):
-            wchunk = water_b[:, s : s + 256]
-            dd = np.where(wchunk[None, :, :], d2[:, :, None], 99)
-            dist[:, s : s + 256] = dd.min(axis=1)
+        dist = min_water_dist(
+            boards == ord(self._chr["water"]), self.h, w
+        )
         return code + 16.0 * dist.astype(np.float32)
 
     def init_packed(self, seed: int, batch: int) -> dict:
@@ -262,6 +263,7 @@ class FusedIslandMa:
             "wall": wall, "sboard": sboard, "pos0": pos0, "vcode0": vcode0,
         }
         self._kstatics_np = kstatics
+        self._invalidate_device_cache()
         self._boards_np = boards
 
         def tile_b(arr):
@@ -311,7 +313,6 @@ class FusedIslandMa:
         "food_frac", "visits", "safety", "t", "key", "draw_ctr",
         "stats_rewards", "stats_episodes",
     )
-    STATIC_FIELDS = ("wall", "sboard", "pos0", "vcode0")
 
     # ----------------------------------------------------------- step body
 
@@ -350,29 +351,9 @@ class FusedIslandMa:
         t = jnp.where(over, 0, S["t"])
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
-
-        # ---- per-agent action draws ----------------------------------------
-        u_act = prng.uniform(key_hi, key_lo, ctr0, iota_n)
-        actions = self.amin + jnp.floor(
-            u_act * (self.amax - self.amin + 1)
-        ).astype(_I32)
-        actions = jnp.clip(actions, self.amin, self.amax)
-        actions = jnp.where(over | (reasons != NONE), -1, actions)
-
-        # ---- randomized agent order: Fisher-Yates over [n] -----------------
-        order = jnp.tile(iota_n, (1, actions.shape[1]))
-        if env.randomize_agent_actions_order and n > 1:
-            u_perm = prng.uniform(key_hi, key_lo, ctr0 + np.uint32(1), iota_n)
-            for k in range(n - 1, 0, -1):
-                jidx = jnp.clip(
-                    jnp.floor(u_perm[k : k + 1] * (k + 1)).astype(_I32), 0, k
-                )
-                vk = order[k : k + 1]
-                vj = jnp.sum(
-                    jnp.where(iota_n == jidx, order, 0), axis=0, keepdims=True
-                )
-                order = jnp.where(iota_n == jidx, vk, order)
-                order = jnp.where(iota_n == k, vj, order)
+        actions, order = self._draw_actions_and_order(
+            S, over, reasons, ctr0, iota_n
+        )
 
         rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)
         row_agent = consts["row_agent"]
@@ -409,12 +390,9 @@ class FusedIslandMa:
 
         for slot in range(n):
             i = order[slot : slot + 1]  # [1, B]
+            # One-hot extraction returns actions[i] verbatim (incl. -1).
             a = jnp.sum(
                 jnp.where(iota_n == i, actions, 0), axis=0, keepdims=True
-            )
-            a = jnp.where(
-                jnp.any((iota_n == i) & (actions < 0), axis=0, keepdims=True),
-                -1, a,
             )
             acting = a >= 0
             actf = acting.astype(_F32)
@@ -701,16 +679,7 @@ class FusedIslandMa:
                 )
 
         # ---- finalize (``MaSafetyGridworld.finalize_step``) -----------------
-        truncated = t >= self.max_iterations
-        game_over_pa = truncated | (reasons != NONE)
-        prev = types
-        new_types = jnp.where(
-            game_over_pa,
-            jnp.where((prev == MID) | (prev == FIRST), LAST, DEAD),
-            MID,
-        )
-        types = jnp.where(over, FIRST, new_types)
-        done = jnp.all(game_over_pa, axis=0, keepdims=True) & ~over
+        types, done = self._finalize_types(t, reasons, types, over)
 
         out = {
             "pos": pos,
@@ -743,118 +712,7 @@ class FusedIslandMa:
             }
         return out
 
-    # ------------------------------------------------------------ backends
-
-    def _consts_jnp(self):
-        return {k: jnp.asarray(v) for k, v in self.consts.items()}
-
-    def _statics_jnp(self):
-        return {k: jnp.asarray(v) for k, v in self._kstatics_np.items()}
-
-    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
-    def _rollout_xla(self, S, statics, n_steps):
-        consts = self._consts_jnp()
-
-        def body(S, _):
-            return self._step(S, statics, consts), None
-
-        S, _ = jax.lax.scan(body, S, None, length=n_steps)
-        return S
-
-    def _rollout_pallas_call(self, S, statics, n_steps, tile, interpret):
-        B = S["t"].shape[1]
-        assert B % tile == 0, "batch must be a multiple of the lane tile"
-        grid = B // tile
-        const_names = sorted(self.consts)
-        static_names = sorted(self._kstatics_np)
-        state_names = list(self.STATE_FIELDS)
-
-        def kernel(*refs):
-            nc, ns = len(const_names), len(static_names)
-            consts = {k: r[:] for k, r in zip(const_names, refs[:nc])}
-            statics = {
-                k: r[:] for k, r in zip(static_names, refs[nc : nc + ns])
-            }
-            in_refs = refs[nc + ns : nc + ns + len(state_names)]
-            out_refs = refs[nc + ns + len(state_names) :]
-            Sk = {k: r[:] for k, r in zip(state_names, in_refs)}
-
-            def body(_, Sk):
-                return self._step(Sk, statics, consts)
-
-            Sk = jax.lax.fori_loop(0, n_steps, body, Sk)
-            for k, r in zip(state_names, out_refs):
-                r[:] = Sk[k]
-
-        def block(arr, batched):
-            d0 = arr.shape[0]
-            if not batched:
-                return pl.BlockSpec(
-                    (d0, arr.shape[1]), lambda g: (0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            return pl.BlockSpec(
-                (d0, tile), lambda g: (0, g), memory_space=pltpu.VMEM
-            )
-
-        const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
-        static_vals = [statics[k] for k in static_names]
-        static_batched = [v.shape[1] != 1 for v in static_vals]
-        state_vals = [S[k] for k in state_names]
-        out_shapes = [
-            jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[block(v, False) for v in const_vals]
-            + [
-                block(v, b)
-                for v, b in zip(static_vals, static_batched)
-            ]
-            + [block(v, True) for v in state_vals],
-            out_specs=[block(v, True) for v in state_vals],
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(*const_vals, *static_vals, *state_vals)
-        return dict(zip(state_names, outs))
-
-    def rollout(self, S, n_steps, backend="pallas", tile=1024,
-                interpret=None):
-        """Advance the packed batch ``n_steps`` full MA steps.
-
-        The default lane tile is large (1024): this kernel's per-lane VMEM
-        footprint is tiny (a 2-reduction sub-step over a <=1k-cell board),
-        so wide tiles amortize the grid loop. Clamped to the batch size.
-        """
-        if backend == "xla":
-            return self._rollout_xla(S, self._statics_jnp(), n_steps)
-        tile = min(tile, S["t"].shape[1])
-        if interpret is None:
-            interpret = jax.devices()[0].platform == "cpu"
-        cache_key = (n_steps, tile, interpret)
-        if not hasattr(self, "_pallas_cache"):
-            self._pallas_cache = {}
-        fn = self._pallas_cache.get(cache_key)
-        if fn is None:
-            fn = jax.jit(
-                functools.partial(
-                    self._rollout_pallas_call,
-                    n_steps=n_steps,
-                    tile=tile,
-                    interpret=interpret,
-                )
-            )
-            self._pallas_cache[cache_key] = fn
-        return fn(S, self._statics_jnp())
-
     # ---------------------------------------------------------- interop
-
-    def step_xla(self, S, collect_draws=False):
-        """One un-jitted packed step (for tests)."""
-        return self._step(
-            S, self._statics_jnp(), self._consts_jnp(), collect_draws
-        )
 
     def board_for_lane(self, lane: int) -> np.ndarray:
         b = self._boards_np

@@ -40,8 +40,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ai_safety_gridworlds_tpu.core.actions import (
     ACTION_DELTAS_MO,
@@ -54,6 +52,7 @@ from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
     _REL_DIR,
 )
 from ai_safety_gridworlds_tpu.ops import prng
+from ai_safety_gridworlds_tpu.ops.fused_base import FusedMaBase, min_water_dist
 
 _I32 = jnp.int32
 _F32 = jnp.float32
@@ -69,13 +68,6 @@ TERMINATED_R = int(TerminationReason.TERMINATED)
 NOOP = int(ActionsMo.NOOP)
 QUIT = int(ActionsMo.QUIT)
 
-# Static curtain fields (never mutated while sustainability is off).
-_STATIC_MASKS = (
-    "wall", "water", "gold", "silver", "drink", "food",
-    "small_drink", "small_food", "predator0",
-)
-
-
 def _lut_select(table_1d, idx, lo, hi):
     """table[idx] for a tiny static table via a select chain (gathers are
     banned in the packed layout)."""
@@ -85,8 +77,10 @@ def _lut_select(table_1d, idx, lo, hi):
     return out
 
 
-class FusedSavanna:
+class FusedSavanna(FusedMaBase):
     """Packed batched aintelope_savanna with a single-kernel step/rollout."""
+
+    DEFAULT_TILE = 256
 
     def __init__(self, env):
         if env.cfg["sustainability_challenge"]:
@@ -301,6 +295,7 @@ class FusedSavanna:
         }
         self._statics_np = statics
         self._kstatics_np = kstatics
+        self._invalidate_device_cache()
         return state
 
     STATE_FIELDS = (
@@ -309,7 +304,6 @@ class FusedSavanna:
         "safety2", "t", "key", "draw_ctr", "stats_rewards",
         "stats_episodes",
     )
-    STATIC_FIELDS = ("wall", "predator0", "pos0", "sboard")
 
     # ----------------------------------------------------------- step body
 
@@ -349,29 +343,9 @@ class FusedSavanna:
         t = jnp.where(over, 0, S["t"])
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
-
-        # ---- per-agent action draws ----------------------------------------
-        u_act = prng.uniform(key_hi, key_lo, ctr0, iota_n)
-        actions = self.amin + jnp.floor(
-            u_act * (self.amax - self.amin + 1)
-        ).astype(_I32)
-        actions = jnp.clip(actions, self.amin, self.amax)
-        actions = jnp.where(over | (reasons != NONE), -1, actions)
-
-        # ---- randomized agent order: Fisher-Yates over [n] -----------------
-        order = jnp.tile(iota_n, (1, actions.shape[1]))
-        if env.randomize_agent_actions_order and n > 1:
-            u_perm = prng.uniform(key_hi, key_lo, ctr0 + np.uint32(1), iota_n)
-            for k in range(n - 1, 0, -1):
-                jidx = jnp.clip(
-                    jnp.floor(u_perm[k : k + 1] * (k + 1)).astype(_I32), 0, k
-                )
-                vk = order[k : k + 1]
-                vj = jnp.sum(
-                    jnp.where(iota_n == jidx, order, 0), axis=0, keepdims=True
-                )
-                order = jnp.where(iota_n == jidx, vk, order)
-                order = jnp.where(iota_n == k, vj, order)
+        actions, order = self._draw_actions_and_order(
+            S, over, reasons, ctr0, iota_n
+        )
 
         rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)
         row_agent = consts["row_agent"]
@@ -394,12 +368,9 @@ class FusedSavanna:
 
         for slot in range(n):
             i = order[slot : slot + 1]  # [1, B]
+            # One-hot extraction returns actions[i] verbatim (incl. -1).
             a = jnp.sum(
                 jnp.where(iota_n == i, actions, 0), axis=0, keepdims=True
-            )
-            a = jnp.where(
-                jnp.any((iota_n == i) & (actions < 0), axis=0, keepdims=True),
-                -1, a,
             )
             acting = a >= 0
             actf = acting.astype(_F32)
@@ -739,16 +710,7 @@ class FusedSavanna:
                 draws.append({})
 
         # ---- finalize (``MaSafetyGridworld.finalize_step``) -----------------
-        truncated = t >= self.max_iterations
-        game_over_pa = truncated | (reasons != NONE)
-        prev = types
-        new_types = jnp.where(
-            game_over_pa,
-            jnp.where((prev == MID) | (prev == FIRST), LAST, DEAD),
-            MID,
-        )
-        types = jnp.where(over, FIRST, new_types)
-        done = jnp.all(game_over_pa, axis=0, keepdims=True) & ~over
+        types, done = self._finalize_types(t, reasons, types, over)
 
         out = {
             "pos": pos,
@@ -787,108 +749,7 @@ class FusedSavanna:
             "small_food": self.cfg["amount_small_food_patches"],
         }[ckey]
 
-    # ------------------------------------------------------------ backends
-
-    def _consts_jnp(self):
-        return {k: jnp.asarray(v) for k, v in self.consts.items()}
-
-    def _statics_jnp(self):
-        return {k: jnp.asarray(v) for k, v in self._kstatics_np.items()}
-
-    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
-    def _rollout_xla(self, S, statics, n_steps):
-        consts = self._consts_jnp()
-
-        def body(S, _):
-            return self._step(S, statics, consts), None
-
-        S, _ = jax.lax.scan(body, S, None, length=n_steps)
-        return S
-
-    def _rollout_pallas_call(self, S, statics, n_steps, tile, interpret):
-        B = S["t"].shape[1]
-        assert B % tile == 0, "batch must be a multiple of the lane tile"
-        grid = B // tile
-        const_names = sorted(self.consts)
-        static_names = sorted(self._kstatics_np)
-        state_names = list(self.STATE_FIELDS)
-
-        def kernel(*refs):
-            nc, ns = len(const_names), len(static_names)
-            consts = {
-                k: r[:] for k, r in zip(const_names, refs[:nc])
-            }
-            statics = {
-                k: r[:] for k, r in zip(static_names, refs[nc : nc + ns])
-            }
-            in_refs = refs[nc + ns : nc + ns + len(state_names)]
-            out_refs = refs[nc + ns + len(state_names) :]
-            Sk = {k: r[:] for k, r in zip(state_names, in_refs)}
-
-            def body(_, Sk):
-                return self._step(Sk, statics, consts)
-
-            Sk = jax.lax.fori_loop(0, n_steps, body, Sk)
-            for k, r in zip(state_names, out_refs):
-                r[:] = Sk[k]
-
-        def block(arr, batched):
-            d0 = arr.shape[0]
-            if not batched:
-                return pl.BlockSpec(
-                    (d0, 1), lambda g: (0, 0), memory_space=pltpu.VMEM
-                )
-            return pl.BlockSpec(
-                (d0, tile), lambda g: (0, g), memory_space=pltpu.VMEM
-            )
-
-        const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
-        static_vals = [jnp.asarray(self._kstatics_np[k]) for k in static_names]
-        state_vals = [S[k] for k in state_names]
-        out_shapes = [
-            jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[block(v, False) for v in const_vals]
-            + [block(v, True) for v in static_vals]
-            + [block(v, True) for v in state_vals],
-            out_specs=[block(v, True) for v in state_vals],
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(*const_vals, *static_vals, *state_vals)
-        return dict(zip(state_names, outs))
-
-    def rollout(self, S, n_steps, backend="pallas", tile=256, interpret=None):
-        """Advance the packed batch ``n_steps`` full MA steps."""
-        if backend == "xla":
-            return self._rollout_xla(S, self._statics_jnp(), n_steps)
-        if interpret is None:
-            interpret = jax.devices()[0].platform == "cpu"
-        cache_key = (n_steps, tile, interpret)
-        if not hasattr(self, "_pallas_cache"):
-            self._pallas_cache = {}
-        fn = self._pallas_cache.get(cache_key)
-        if fn is None:
-            fn = jax.jit(
-                functools.partial(
-                    self._rollout_pallas_call,
-                    n_steps=n_steps,
-                    tile=tile,
-                    interpret=interpret,
-                )
-            )
-            self._pallas_cache[cache_key] = fn
-        return fn(S, self._statics_jnp())
-
     # ---------------------------------------------------------- interop
-
-    def step_xla(self, S, collect_draws=False):
-        """One un-jitted packed step (for tests)."""
-        return self._step(
-            S, self._statics_jnp(), self._consts_jnp(), collect_draws
-        )
 
     def unpack_lane(self, S, lane: int):
         """The packed lane as a per-env ``SavannaState`` (for tests)."""

@@ -67,7 +67,7 @@ def test_fire_spread_rate_matches_probability():
     cells = [2 * fused.w + c for c in range(2, 15)]
     survived = 0
     total = 0
-    step = jax.jit(lambda s: fused._step(s, fused._consts_jnp()))
+    step = jax.jit(lambda s: fused._step(s, {}, fused._consts_jnp()))
     for rep in range(30):
         for c in cells:
             fire[c] = 1.0
