@@ -116,6 +116,20 @@ class FusedFiremaker(FusedMaBase):
             (dr * w + dc, float(np.log1p(-p)))
             for dr, dc, p in env._spread_offsets
         ]
+        # Separable grouping of the stencil: roll(x, dr*W + dc) ==
+        # roll(roll(x, dc), dr*W), so rolling the source once per distinct
+        # column offset and each row-group's weighted sum once per distinct
+        # row offset needs |dc|+|dr| rolls (8 for the 5x5 stencil) instead
+        # of one per offset (24).
+        rows: dict = {}
+        for dr, dc, p in env._spread_offsets:
+            rows.setdefault(dr, []).append((dc, float(np.log1p(-p))))
+        self.spread_rows = sorted(
+            (dr, sorted(terms)) for dr, terms in rows.items()
+        )
+        self.spread_dcs = sorted(
+            {dc for _, dc, _ in env._spread_offsets}
+        )
         self.start_pos_flat = np.asarray(
             env._start_pos[:, 0] * w + env._start_pos[:, 1], np.int32
         ).reshape(self.n, 1)
@@ -413,9 +427,20 @@ class FusedFiremaker(FusedMaBase):
                 src_j = agent_oh[j] & at_w_rows[j] & (countdown2 == 0)
                 sources = sources | src_j
             src_f = sources.astype(_F32)
+            # Separable stencil: one roll per distinct column offset, one
+            # per row group (8 rolls vs 24 per-offset rolls).
+            shifted = {
+                dc: (jnp.roll(src_f, dc, axis=0) if dc else src_f)
+                for dc in self.spread_dcs
+            }
             acc = jnp.zeros_like(src_f)
-            for shift, coeff in self.spread_offsets:
-                acc = acc + coeff * jnp.roll(src_f, shift, axis=0)
+            for dr, terms in self.spread_rows:
+                y = jnp.zeros_like(src_f)
+                for dc, coeff in terms:
+                    y = y + coeff * shifted[dc]
+                acc = acc + (
+                    jnp.roll(y, dr * self.w, axis=0) if dr else y
+                )
             cum = 1.0 - jnp.exp(acc)
             eligible = ~fire_cleared & spreadable
             cum = jnp.where(eligible, cum, 0.0)
