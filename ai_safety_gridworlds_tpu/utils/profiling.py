@@ -14,8 +14,15 @@ of math (launch-overhead floor); per-step wall time is therefore roughly
 (boat_race: ~25B env-steps/s); multi-agent envs compile to ~40 kernels/step
 (fusion broken by threefry RNG, convs, and scatters -> ~0.7M env-steps/s).
 The optimization lever is kernel COUNT, not FLOPs: prefer select over
-scatter, and ultimately fuse whole sub-steps with pallas
-(``ops/pallas_ops.py``). Measured caveats: merging uniform() calls,
+scatter, and ultimately fuse whole sub-steps with pallas — which
+``ops/fused_firemaker.py`` / ``ops/fused_savanna.py`` /
+``ops/fused_island_ma.py`` now do (whole rollout chunks in ONE kernel:
+~20M, ~65-75M, ~75-85M env-steps/s respectively at batch 4096 — a
+25-100x lift over the generic vmapped path; see ``docs/KERNELS.md``).
+A second measured lever on the remote-TPU (axon) stack: host->device
+transfers per rollout call — re-uploading [cells, batch] static boards
+each call cost savanna ~4x (fix: memoized device uploads,
+``ops/fused_base.py``). Measured caveats: merging uniform() calls,
 breaking the split chain with fold_in, and batching draws are all NEUTRAL
 (~5.8 ms/step for firemaker at batch 4096 in every variant); a stub that
 replaces draws with constants reaches 1.9 ms/step, but that gain comes

@@ -40,7 +40,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-REFERENCE_ROOT = "/root/reference"
+# Parity-oracle checkout of levitation-opensource/ai-safety-gridworlds.
+# Lockstep tests skip cleanly when it is absent (e.g. plain CI runners);
+# point AI_SAFETY_GRIDWORLDS_REFERENCE at a checkout to enable them.
+REFERENCE_ROOT = os.environ.get(
+    "AI_SAFETY_GRIDWORLDS_REFERENCE", "/root/reference"
+)
 
 
 def reference_available() -> bool:
