@@ -69,10 +69,14 @@ class FusedMaBase:
 
     # ------------------------------------------------------------ prologue
 
-    def _draw_actions_and_order(self, S, over, reasons, ctr0, iota_n):
+    def _draw_actions_and_order(self, S, over, reasons, ctr0, iota_n,
+                                feats=None, statics=None):
         """Uniform per-agent action draws (site 0) + Fisher-Yates agent
         order (site 1). Reset lanes and dead agents draw -1 (excluded from
-        the reference actions dict, ``pycolab_interface_ma.py:183``)."""
+        the reference actions dict, ``pycolab_interface_ma.py:183``).
+        With ``feats``/``statics`` given and policies installed
+        (``set_policies``), actions come from the per-lane linear policy
+        instead of the uniform draw."""
         key_hi, key_lo = S["key"][0:1], S["key"][1:2]
         n = iota_n.shape[0]
         u_act = prng.uniform(key_hi, key_lo, ctr0, iota_n)
@@ -84,6 +88,8 @@ class FusedMaBase:
         ).astype(_I32)
         actions = jnp.clip(actions, self.amin, self.amax)
         actions = jnp.where(over | (reasons != none_r), -1, actions)
+        if feats is not None and statics is not None:
+            actions = self._policy_actions(actions, u_act, feats, statics)
 
         order = jnp.tile(iota_n, (1, actions.shape[1]))
         if self.env.randomize_agent_actions_order and n > 1:
@@ -99,6 +105,46 @@ class FusedMaBase:
                 order = jnp.where(iota_n == jidx, vk, order)
                 order = jnp.where(iota_n == k, vj, order)
         return actions, order
+
+    def _policy_actions(self, uniform_actions, u_act, feats, statics):
+        """Per-lane linear-policy action selection.
+
+        When ``statics`` carries policy parameters (``pol_w`` [A*F, B],
+        ``pol_b`` [A, B], ``pol_eps`` [1, B]; installed by
+        ``set_policies``), each agent's action becomes the argmax of
+        ``W @ feat + b`` over the A legal actions, except with
+        probability eps the uniform draw is kept (exploration reuses the
+        action-site uniform, so the draw-site layout is unchanged).
+        ``feats`` is a list of [1, B] feature rows per agent (list of
+        lists, indexed [agent][feature]). Returns [n, B] actions.
+        """
+        if "pol_w" not in statics:
+            return uniform_actions
+        A = self.amax - self.amin + 1
+        W, bias = statics["pol_w"], statics["pol_b"]
+        eps = statics["pol_eps"]
+        n = len(feats)
+        F = len(feats[0])
+        rows = []
+        for j in range(n):
+            best_a = jnp.zeros_like(u_act[j : j + 1])
+            best_v = None
+            for a in range(A):
+                logit = bias[a : a + 1]
+                for f in range(F):
+                    logit = logit + W[a * F + f : a * F + f + 1] * feats[j][f]
+                if best_v is None:
+                    best_v = logit
+                else:
+                    take = logit > best_v
+                    best_v = jnp.where(take, logit, best_v)
+                    best_a = jnp.where(take, float(a), best_a)
+            rows.append(self.amin + best_a.astype(_I32))
+        greedy = jnp.concatenate(rows, axis=0)
+        explore = u_act * (self.amax - self.amin + 1) % 1.0 < eps
+        out = jnp.where(explore, uniform_actions, greedy)
+        # Preserve the -1 sentinel for reset lanes / dead agents.
+        return jnp.where(uniform_actions < 0, uniform_actions, out)
 
     # ------------------------------------------------------------ epilogue
 
@@ -118,6 +164,61 @@ class FusedMaBase:
         out_types = jnp.where(over, FIRST, new_types)
         done = jnp.all(game_over_pa, axis=0, keepdims=True) & ~over
         return out_types, done
+
+    # Number of per-agent policy features; kernels that support in-kernel
+    # policies override this and implement a feature extractor in _step.
+    POLICY_FEATURES: int = 0
+
+    def set_policies(self, W, b, eps=0.0):
+        """Install per-lane linear policies for in-kernel action selection.
+
+        ``W``: [B, A, F] (one policy per batch lane) or [A, F] (shared);
+        ``b``: [B, A] or [A]; ``eps``: exploration probability (scalar or
+        [B]) — with probability eps the uniform action draw is kept.
+        A = number of legal actions (amin..amax), F = POLICY_FEATURES.
+        Policies persist across ``init_packed`` calls; pass ``W=None``
+        to remove them.
+
+        This turns the fused rollout into a policy-evaluation engine:
+        ``stats_rewards`` accumulates each lane's returns under its own
+        policy, so one rollout scores thousands of candidates — the
+        building block for evolution-strategy / population-based search
+        at fused-kernel throughput (see
+        ``examples/policy_search_example.py``).
+        """
+        if self.POLICY_FEATURES == 0:
+            raise NotImplementedError(
+                "this kernel has no policy feature extractor"
+            )
+        if W is None:
+            self._policy_np = {}
+        else:
+            A = self.amax - self.amin + 1
+            F = self.POLICY_FEATURES
+            W = np.asarray(W, np.float32)
+            if W.ndim == 2:
+                W = W[None]
+            assert W.shape[1:] == (A, F), (W.shape, A, F)
+            b = np.asarray(b, np.float32)
+            if b.ndim == 1:
+                b = b[None]
+            eps_arr = np.asarray(eps, np.float32).reshape(-1)
+            B = max(W.shape[0], b.shape[0], eps_arr.shape[0])
+            Wf = W.reshape(W.shape[0], A * F)
+            self._policy_np = {
+                "pol_w": np.ascontiguousarray(
+                    np.broadcast_to(Wf, (B, A * F)).T
+                ),
+                "pol_b": np.ascontiguousarray(
+                    np.broadcast_to(b, (B, b.shape[1])).T
+                ),
+                "pol_eps": np.ascontiguousarray(
+                    np.broadcast_to(eps_arr, (B,)).reshape(1, B)
+                ),
+            }
+        # The statics key set is part of the pallas call signature.
+        self._pallas_cache = {}
+        self._invalidate_device_cache()
 
     # ------------------------------------------------------------ backends
 
@@ -139,10 +240,18 @@ class FusedMaBase:
                 self._consts_dev = cache
         return cache
 
+    def _all_statics_np(self):
+        """Kernel statics plus any installed policy parameters
+        (``set_policies`` survives re-packing)."""
+        pol = getattr(self, "_policy_np", None)
+        if pol:
+            return {**self._kstatics_np, **pol}
+        return self._kstatics_np
+
     def _statics_jnp(self):
         cache = getattr(self, "_statics_dev", None)
         if cache is None:
-            cache, ok = self._to_device(self._kstatics_np)
+            cache, ok = self._to_device(self._all_statics_np())
             if ok:
                 self._statics_dev = cache
         return cache
@@ -165,7 +274,7 @@ class FusedMaBase:
         assert B % tile == 0, "batch must be a multiple of the lane tile"
         grid = B // tile
         const_names = sorted(self.consts)
-        static_names = sorted(self._kstatics_np)
+        static_names = sorted(self._all_statics_np())
         state_names = list(self.STATE_FIELDS)
 
         def kernel(*refs):

@@ -91,6 +91,10 @@ class FusedIslandMa(FusedMaBase):
     """Packed batched island_navigation_ex_ma with a single-kernel step."""
 
     DEFAULT_TILE = 1024  # tiny per-lane VMEM footprint -> wide tiles win
+    # In-kernel linear-policy features per agent (``set_policies``):
+    # normalized row/col, drink/food satiation, drink/food availability,
+    # action-direction one-hot.
+    POLICY_FEATURES = 10
 
     def __init__(self, env):
         if (
@@ -316,6 +320,30 @@ class FusedIslandMa(FusedMaBase):
 
     # ----------------------------------------------------------- step body
 
+    def _policy_feats(self, pos, drink_sat, food_sat, drink_av, food_av,
+                      act_dir):
+        """Per-agent [1, B] feature rows for in-kernel linear policies
+        (observed at the start of the step, post auto-reset)."""
+        H, W = self.h, self.w
+        feats = []
+        for j in range(self.n):
+            pj = pos[j : j + 1].astype(_F32)
+            row = jnp.floor(pj * _F32(1.0 / W))
+            col = pj - row * W
+            fj = [
+                row * _F32(1.0 / max(H - 1, 1)),
+                col * _F32(1.0 / max(W - 1, 1)),
+                drink_sat[j : j + 1] * _F32(0.1),
+                food_sat[j : j + 1] * _F32(0.1),
+                drink_av * _F32(0.05),
+                food_av * _F32(0.05),
+            ]
+            dj = act_dir[j : j + 1]
+            for d in range(4):
+                fj.append((dj == d).astype(_F32))
+            feats.append(fj)
+        return feats
+
     def _step(self, S, statics, consts, collect_draws: bool = False):
         """One full MA step on packed arrays (pure jnp; XLA or pallas)."""
         env, cfg = self.env, self.cfg
@@ -351,8 +379,13 @@ class FusedIslandMa(FusedMaBase):
         t = jnp.where(over, 0, S["t"])
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
+        feats = None
+        if "pol_w" in statics:
+            feats = self._policy_feats(
+                pos, drink_sat, food_sat, drink_av, food_av, act_dir
+            )
         actions, order = self._draw_actions_and_order(
-            S, over, reasons, ctr0, iota_n
+            S, over, reasons, ctr0, iota_n, feats=feats, statics=statics
         )
 
         rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)
