@@ -81,6 +81,10 @@ class FusedSavanna(FusedMaBase):
     """Packed batched aintelope_savanna with a single-kernel step/rollout."""
 
     DEFAULT_TILE = 256
+    # In-kernel linear-policy features per agent (``set_policies``):
+    # normalized row/col, drink/food satiation, water/predator safety
+    # distances, observation-direction one-hot.
+    POLICY_FEATURES = 10
 
     def __init__(self, env):
         if env.cfg["sustainability_challenge"]:
@@ -343,8 +347,28 @@ class FusedSavanna(FusedMaBase):
         t = jnp.where(over, 0, S["t"])
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
+        feats = None
+        if "pol_w" in statics:
+            W_ = self.w
+            feats = []
+            for j in range(self.n):
+                pj = pos[j : j + 1].astype(_F32)
+                prow = jnp.floor(pj * _F32(1.0 / W_))
+                pcol = pj - prow * W_
+                fj = [
+                    prow * _F32(1.0 / max(self.h - 1, 1)),
+                    pcol * _F32(1.0 / max(W_ - 1, 1)),
+                    drink_sat[j : j + 1] * _F32(0.1),
+                    food_sat[j : j + 1] * _F32(0.1),
+                    safety[j : j + 1].astype(_F32) * _F32(0.1),
+                    safety2[j : j + 1].astype(_F32) * _F32(0.1),
+                ]
+                dj = obs_dir[j : j + 1]
+                for d in range(4):
+                    fj.append((dj == d).astype(_F32))
+                feats.append(fj)
         actions, order = self._draw_actions_and_order(
-            S, over, reasons, ctr0, iota_n
+            S, over, reasons, ctr0, iota_n, feats=feats, statics=statics
         )
 
         rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)

@@ -12,9 +12,11 @@ import pytest
 from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
     IslandNavigationExMa,
 )
+from ai_safety_gridworlds_tpu.envs.aintelope_savanna import AIntelopeSavanna
 from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
 from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
 from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
+from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
 
 
 def _fused(B=32, seed=0):
@@ -122,6 +124,22 @@ def test_policy_equivalence_with_per_env_chain():
                 err_msg=f"step {step} lane {bl}",
             )
         S = S2
+
+
+def test_savanna_policy_controls_actions():
+    f = FusedSavanna(AIntelopeSavanna())
+    S = f.init_packed(seed=1, batch=16)
+    A, F = f.amax - f.amin + 1, f.POLICY_FEATURES
+    W = np.zeros((A, F), np.float32)
+    b = np.zeros((A,), np.float32)
+    b[2] = 100.0  # always RIGHT
+    f.set_policies(W, b, eps=0.0)
+    _, dbg = f.step_xla(S, collect_draws=True)
+    acts = np.asarray(dbg["actions"])
+    assert (acts == 2).all()
+    f.set_policies(None, None)
+    _, dbg2 = f.step_xla(S, collect_draws=True)
+    assert len(np.unique(np.asarray(dbg2["actions"]))) > 1
 
 
 def test_unsupported_kernel_raises():
