@@ -169,6 +169,22 @@ class FusedMaBase:
     # policies override this and implement a feature extractor in _step.
     POLICY_FEATURES: int = 0
 
+    def _pos_dir_feats(self, pos, dir_rows, j):
+        """Common policy-feature scaffold for agent ``j``: normalized
+        (row, col) from the flat position plus a 4-way direction one-hot.
+        Returns ``(pos_feats, onehot_feats)`` lists of [1, B] rows."""
+        W, H = self.w, self.h
+        pj = pos[j : j + 1].astype(jnp.float32)
+        row = jnp.floor(pj * jnp.float32(1.0 / W))
+        col = pj - row * W
+        pos_feats = [
+            row * jnp.float32(1.0 / max(H - 1, 1)),
+            col * jnp.float32(1.0 / max(W - 1, 1)),
+        ]
+        dj = dir_rows[j : j + 1]
+        onehot = [(dj == d).astype(jnp.float32) for d in range(4)]
+        return pos_feats, onehot
+
     def set_policies(self, W, b, eps=0.0):
         """Install per-lane linear policies for in-kernel action selection.
 
@@ -190,6 +206,7 @@ class FusedMaBase:
             raise NotImplementedError(
                 "this kernel has no policy feature extractor"
             )
+        had = bool(getattr(self, "_policy_np", None))
         if W is None:
             self._policy_np = {}
         else:
@@ -198,11 +215,28 @@ class FusedMaBase:
             W = np.asarray(W, np.float32)
             if W.ndim == 2:
                 W = W[None]
-            assert W.shape[1:] == (A, F), (W.shape, A, F)
+            if W.shape[1:] != (A, F):
+                raise ValueError(
+                    f"policy W must be [B, {A}, {F}] or [{A}, {F}], "
+                    f"got {W.shape}"
+                )
             b = np.asarray(b, np.float32)
             if b.ndim == 1:
                 b = b[None]
+            if b.shape[1] != A:
+                raise ValueError(
+                    f"policy b must be [B, {A}] or [{A}], got {b.shape}"
+                )
             eps_arr = np.asarray(eps, np.float32).reshape(-1)
+            lane_dims = {
+                d for d in (W.shape[0], b.shape[0], eps_arr.shape[0])
+                if d != 1
+            }
+            if len(lane_dims) > 1:
+                raise ValueError(
+                    "policy W/b/eps lane dimensions disagree: "
+                    f"{W.shape[0]}, {b.shape[0]}, {eps_arr.shape[0]}"
+                )
             B = max(W.shape[0], b.shape[0], eps_arr.shape[0])
             Wf = W.reshape(W.shape[0], A * F)
             self._policy_np = {
@@ -216,8 +250,11 @@ class FusedMaBase:
                     np.broadcast_to(eps_arr, (B,)).reshape(1, B)
                 ),
             }
-        # The statics key set is part of the pallas call signature.
-        self._pallas_cache = {}
+        # The statics key SET is part of the pallas call signature, so
+        # the jit cache only goes stale on an install/remove transition —
+        # value-only updates retrace nothing (statics are traced args).
+        if had != bool(self._policy_np):
+            self._pallas_cache = {}
         self._invalidate_device_cache()
 
     # ------------------------------------------------------------ backends
@@ -335,9 +372,19 @@ class FusedMaBase:
         """
         if tile is None:
             tile = self.DEFAULT_TILE
+        B = S["t"].shape[1]
+        pol = getattr(self, "_policy_np", None)
+        if pol:
+            pb = pol["pol_w"].shape[1]
+            if pb not in (1, B):
+                raise ValueError(
+                    f"policy batch {pb} != packed batch {B} "
+                    "(set_policies with per-lane params must match "
+                    "init_packed's batch)"
+                )
         if backend == "xla":
             return self._rollout_xla(S, self._statics_jnp(), n_steps)
-        tile = min(tile, S["t"].shape[1])
+        tile = min(tile, B)
         if interpret is None:
             # The axon remote-TPU plugin reports platform "axon", not
             # "tpu" — only a true CPU backend falls back to the

@@ -324,24 +324,19 @@ class FusedIslandMa(FusedMaBase):
                       act_dir):
         """Per-agent [1, B] feature rows for in-kernel linear policies
         (observed at the start of the step, post auto-reset)."""
-        H, W = self.h, self.w
         feats = []
         for j in range(self.n):
-            pj = pos[j : j + 1].astype(_F32)
-            row = jnp.floor(pj * _F32(1.0 / W))
-            col = pj - row * W
-            fj = [
-                row * _F32(1.0 / max(H - 1, 1)),
-                col * _F32(1.0 / max(W - 1, 1)),
-                drink_sat[j : j + 1] * _F32(0.1),
-                food_sat[j : j + 1] * _F32(0.1),
-                drink_av * _F32(0.05),
-                food_av * _F32(0.05),
-            ]
-            dj = act_dir[j : j + 1]
-            for d in range(4):
-                fj.append((dj == d).astype(_F32))
-            feats.append(fj)
+            pos_f, onehot = self._pos_dir_feats(pos, act_dir, j)
+            feats.append(
+                pos_f
+                + [
+                    drink_sat[j : j + 1] * _F32(0.1),
+                    food_sat[j : j + 1] * _F32(0.1),
+                    drink_av * _F32(0.05),
+                    food_av * _F32(0.05),
+                ]
+                + onehot
+            )
         return feats
 
     def _step(self, S, statics, consts, collect_draws: bool = False):

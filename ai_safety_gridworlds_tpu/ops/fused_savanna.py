@@ -311,6 +311,25 @@ class FusedSavanna(FusedMaBase):
 
     # ----------------------------------------------------------- step body
 
+    def _policy_feats(self, pos, drink_sat, food_sat, safety, safety2,
+                      obs_dir):
+        """Per-agent [1, B] feature rows for in-kernel linear policies
+        (observed at the start of the step, post auto-reset)."""
+        feats = []
+        for j in range(self.n):
+            pos_f, onehot = self._pos_dir_feats(pos, obs_dir, j)
+            feats.append(
+                pos_f
+                + [
+                    drink_sat[j : j + 1] * _F32(0.1),
+                    food_sat[j : j + 1] * _F32(0.1),
+                    safety[j : j + 1].astype(_F32) * _F32(0.1),
+                    safety2[j : j + 1].astype(_F32) * _F32(0.1),
+                ]
+                + onehot
+            )
+        return feats
+
     def _step(self, S, statics, consts, collect_draws: bool = False):
         """One full MA step on packed arrays (pure jnp; XLA or pallas)."""
         env, cfg = self.env, self.cfg
@@ -349,24 +368,9 @@ class FusedSavanna(FusedMaBase):
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         feats = None
         if "pol_w" in statics:
-            W_ = self.w
-            feats = []
-            for j in range(self.n):
-                pj = pos[j : j + 1].astype(_F32)
-                prow = jnp.floor(pj * _F32(1.0 / W_))
-                pcol = pj - prow * W_
-                fj = [
-                    prow * _F32(1.0 / max(self.h - 1, 1)),
-                    pcol * _F32(1.0 / max(W_ - 1, 1)),
-                    drink_sat[j : j + 1] * _F32(0.1),
-                    food_sat[j : j + 1] * _F32(0.1),
-                    safety[j : j + 1].astype(_F32) * _F32(0.1),
-                    safety2[j : j + 1].astype(_F32) * _F32(0.1),
-                ]
-                dj = obs_dir[j : j + 1]
-                for d in range(4):
-                    fj.append((dj == d).astype(_F32))
-                feats.append(fj)
+            feats = self._policy_feats(
+                pos, drink_sat, food_sat, safety, safety2, obs_dir
+            )
         actions, order = self._draw_actions_and_order(
             S, over, reasons, ctr0, iota_n, feats=feats, statics=statics
         )
