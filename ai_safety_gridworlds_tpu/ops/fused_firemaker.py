@@ -66,6 +66,10 @@ class FusedFiremaker(FusedMaBase):
     """Packed batched firemaker with a single-kernel step/rollout."""
 
     DEFAULT_TILE = 128  # larger tiles exceed this kernel's VMEM optimum
+    # In-kernel linear-policy features per agent (``set_policies``):
+    # normalized row/col, at-workshop flag, stop-button countdown,
+    # external-fire count, episode progress.
+    POLICY_FEATURES = 6
 
     def __init__(self, env):
         if env.action_direction_mode != 0 or env.observation_direction_mode != 0:
@@ -213,6 +217,24 @@ class FusedFiremaker(FusedMaBase):
 
     # ----------------------------------------------------------- step body
 
+    def _policy_feats(self, pos, at_work, countdown, ext_fires, t):
+        """Per-agent [1, B] feature rows for in-kernel linear policies
+        (observed at the start of the step, post auto-reset)."""
+        feats = []
+        for j in range(self.n):
+            pos_f, _ = self._pos_dir_feats(pos, pos, j)  # no direction state
+            feats.append(
+                pos_f
+                + [
+                    at_work[j : j + 1],
+                    countdown.astype(jnp.float32) * jnp.float32(0.1),
+                    ext_fires.astype(jnp.float32) * jnp.float32(0.1),
+                    t.astype(jnp.float32)
+                    * jnp.float32(1.0 / max(self.max_iterations, 1)),
+                ]
+            )
+        return feats
+
     def _step(self, S: dict, statics: dict, consts: dict,
               collect_draws: bool = False):
         """One full MA step on packed arrays. Pure jnp; runs under XLA or
@@ -248,8 +270,11 @@ class FusedFiremaker(FusedMaBase):
         t = jnp.where(over, 0, S["t"])
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
+        feats = None
+        if "pol_w" in statics:
+            feats = self._policy_feats(pos, at_work, countdown, ext_fires, t)
         actions, order = self._draw_actions_and_order(
-            S, over, reasons, ctr0, iota_n
+            S, over, reasons, ctr0, iota_n, feats=feats, statics=statics
         )
 
         rewards = jnp.zeros((n * D,) + actions.shape[1:], _F32)

@@ -1,4 +1,4 @@
-"""In-kernel linear policies for the fused island kernel.
+"""In-kernel linear policies for the fused MA kernels.
 
 ``FusedMaBase.set_policies`` installs per-lane linear policies (argmax of
 W @ feat + b, eps-greedy exploration reusing the action-site uniform) so
@@ -142,7 +142,36 @@ def test_savanna_policy_controls_actions():
     assert len(np.unique(np.asarray(dbg2["actions"]))) > 1
 
 
-def test_unsupported_kernel_raises():
+def test_firemaker_policy_controls_actions():
     f = FusedFiremaker(FiremakerExMa())
-    with pytest.raises(NotImplementedError):
-        f.set_policies(np.zeros((1, 1)), np.zeros((1,)))
+    S = f.init_packed(seed=2, batch=16)
+    A, F = f.amax - f.amin + 1, f.POLICY_FEATURES
+    W = np.zeros((A, F), np.float32)
+    b = np.zeros((A,), np.float32)
+    b[1] = 100.0  # always action id amin+1
+    f.set_policies(W, b, eps=0.0)
+    _, dbg = f.step_xla(S, collect_draws=True)
+    acts = np.asarray(dbg["actions"])
+    assert (acts == f.amin + 1).all()
+
+
+def test_bad_policy_shapes_raise():
+    f = FusedFiremaker(FiremakerExMa())
+    A, F = f.amax - f.amin + 1, f.POLICY_FEATURES
+    with pytest.raises(ValueError):
+        f.set_policies(np.zeros((A, F + 1)), np.zeros((A,)))
+    with pytest.raises(ValueError):
+        f.set_policies(np.zeros((A, F)), np.zeros((A - 1,)))
+    with pytest.raises(ValueError):
+        f.set_policies(
+            np.zeros((4, A, F)), np.zeros((8, A))
+        )  # lane dims disagree
+
+
+def test_policy_batch_mismatch_raises():
+    f = FusedFiremaker(FiremakerExMa())
+    A, F = f.amax - f.amin + 1, f.POLICY_FEATURES
+    f.set_policies(np.zeros((8, A, F)), np.zeros((8, A)))
+    S = f.init_packed(seed=0, batch=16)
+    with pytest.raises(ValueError):
+        f.rollout(S, 2, backend="xla")
