@@ -171,8 +171,10 @@ class FusedMaBase:
 
     def _pos_dir_feats(self, pos, dir_rows, j):
         """Common policy-feature scaffold for agent ``j``: normalized
-        (row, col) from the flat position plus a 4-way direction one-hot.
-        Returns ``(pos_feats, onehot_feats)`` lists of [1, B] rows."""
+        (row, col) from the flat position plus a 4-way direction one-hot
+        (empty when ``dir_rows`` is None — kernels without direction
+        state). Returns ``(pos_feats, onehot_feats)`` lists of [1, B]
+        rows."""
         W, H = self.w, self.h
         pj = pos[j : j + 1].astype(jnp.float32)
         row = jnp.floor(pj * jnp.float32(1.0 / W))
@@ -181,6 +183,8 @@ class FusedMaBase:
             row * jnp.float32(1.0 / max(H - 1, 1)),
             col * jnp.float32(1.0 / max(W - 1, 1)),
         ]
+        if dir_rows is None:
+            return pos_feats, []
         dj = dir_rows[j : j + 1]
         onehot = [(dj == d).astype(jnp.float32) for d in range(4)]
         return pos_feats, onehot

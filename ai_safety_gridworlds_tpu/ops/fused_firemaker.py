@@ -222,7 +222,7 @@ class FusedFiremaker(FusedMaBase):
         (observed at the start of the step, post auto-reset)."""
         feats = []
         for j in range(self.n):
-            pos_f, _ = self._pos_dir_feats(pos, pos, j)  # no direction state
+            pos_f, _ = self._pos_dir_feats(pos, None, j)
             feats.append(
                 pos_f
                 + [
