@@ -80,14 +80,60 @@ def test_fused_step_matches_per_env_substeps():
                     np.asarray(getattr(ref_state, field)),
                     err_msg=f"step {step} lane {b} field {field}",
                 )
-        # Per-step rewards of the fused body vs the per-env union rows are
-        # compared in aggregate via stats at the end of the loop below.
         S = S2
 
-    # Fused stats rewards should be finite and mostly negative (movement
-    # penalties dominate a random policy).
+    # Fused stats rewards should be finite (the per-step reward path is
+    # pinned exactly by test_fused_rewards_match_per_env_substep_deltas).
     stats = np.asarray(S["stats_rewards"])
     assert np.isfinite(stats).all()
+
+
+@pytest.mark.parametrize("amount_agents", [2, 3])
+def test_fused_rewards_match_per_env_substep_deltas(amount_agents):
+    """Per-step per-lane reward deltas of the fused kernel equal the
+    per-env sub-step chain's summed deltas — on both the default 2-agent
+    (1 worker + supervisor) and the 3-agent (2 workers + supervisor)
+    configs. Mirrors ``test_fused_island_ma.py``; reference semantics:
+    ``/root/reference/ai_safety_gridworlds/environments/firemaker_ex_ma.py:772-801``.
+    """
+    env = FiremakerExMa(amount_agents=amount_agents)
+    fused = FusedFiremaker(env)
+    B = 8
+    S = fused.init_packed(seed=11 + amount_agents, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    h, w, n, D = fused.h, fused.w, fused.n, fused.D
+    for step in range(10):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        prev_stats = np.asarray(S["stats_rewards"])
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        fused_step_rewards = np.asarray(S2["stats_rewards"]) - prev_stats
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            total = np.zeros((n, D), np.float32)
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                opts = {
+                    k: jnp.asarray(
+                        np.asarray(dbg["slots"][slot][k])[:, b].reshape(h, w)
+                    )
+                    for k in ("spread_cells", "spread_set", "cont_keep")
+                }
+                state_b, delta = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), opts, slot
+                )
+                total += np.asarray(delta)
+            np.testing.assert_allclose(
+                fused_step_rewards[:, b].reshape(n, D), total,
+                rtol=0, atol=1e-5,
+                err_msg=f"step {step} lane {b} (amount_agents={amount_agents})",
+            )
+        S = S2
 
 
 def test_fused_step_types_vs_per_env_finalize():
