@@ -27,6 +27,7 @@ from ai_safety_gridworlds_tpu.core.timestep import StepType
 from ai_safety_gridworlds_tpu.ops import prng
 
 _I32 = jnp.int32
+_F32 = jnp.float32
 
 FIRST = int(StepType.FIRST)
 MID = int(StepType.MID)
@@ -75,8 +76,13 @@ class FusedMaBase:
         order (site 1). Reset lanes and dead agents draw -1 (excluded from
         the reference actions dict, ``pycolab_interface_ma.py:183``).
         With ``feats``/``statics`` given and policies installed
-        (``set_policies``), actions come from the per-lane linear policy
-        instead of the uniform draw."""
+        (``set_policies`` or MLP params under ``mlp_*`` keys), actions come
+        from the per-lane policy instead of the uniform draw.
+
+        Returns ``(actions, order, pol)`` where ``pol`` is ``None`` unless
+        an MLP policy ran, in which case it carries the per-step policy
+        emissions consumed by :meth:`rollout_collect` (``feats`` [n*F, B],
+        ``logp``/``value`` [n, B])."""
         key_hi, key_lo = S["key"][0:1], S["key"][1:2]
         n = iota_n.shape[0]
         u_act = prng.uniform(key_hi, key_lo, ctr0, iota_n)
@@ -88,8 +94,14 @@ class FusedMaBase:
         ).astype(_I32)
         actions = jnp.clip(actions, self.amin, self.amax)
         actions = jnp.where(over | (reasons != none_r), -1, actions)
+        pol = None
         if feats is not None and statics is not None:
-            actions = self._policy_actions(actions, u_act, feats, statics)
+            if "mlp_w1" in statics:
+                actions, pol = self._mlp_policy_actions(
+                    actions, u_act, feats, statics
+                )
+            else:
+                actions = self._policy_actions(actions, u_act, feats, statics)
 
         order = jnp.tile(iota_n, (1, actions.shape[1]))
         if self.env.randomize_agent_actions_order and n > 1:
@@ -104,7 +116,7 @@ class FusedMaBase:
                 )
                 order = jnp.where(iota_n == jidx, vk, order)
                 order = jnp.where(iota_n == k, vj, order)
-        return actions, order
+        return actions, order, pol
 
     def _policy_actions(self, uniform_actions, u_act, feats, statics):
         """Per-lane linear-policy action selection.
@@ -145,6 +157,76 @@ class FusedMaBase:
         out = jnp.where(explore, uniform_actions, greedy)
         # Preserve the -1 sentinel for reset lanes / dead agents.
         return jnp.where(uniform_actions < 0, uniform_actions, out)
+
+    # ------------------------------------------------------- MLP policy
+
+    def _mlp_forward_agent(self, X, statics):
+        """Shared two-layer MLP head on one agent's packed features.
+
+        ``X`` is [F, B] (batch on lanes, MXU-friendly); params live in
+        ``statics`` under ``mlp_*`` keys (``mlp_w1`` [H, F], ``mlp_b1``
+        [H, 1], ``mlp_w2`` [A+1, H], ``mlp_b2`` [A+1, 1] — the extra
+        output row is the value head). Returns ``(z, log_se, value)``
+        where ``z`` are max-shifted logits [A, B] and ``log_se`` the
+        softmax log-normalizer [1, B]."""
+        A = self.amax - self.amin + 1
+        h = jnp.maximum(
+            jnp.dot(statics["mlp_w1"], X, preferred_element_type=_F32)
+            + statics["mlp_b1"],
+            0.0,
+        )
+        out = (
+            jnp.dot(statics["mlp_w2"], h, preferred_element_type=_F32)
+            + statics["mlp_b2"]
+        )
+        logits = out[:A]
+        value = out[A : A + 1]
+        z = logits - jnp.max(logits, axis=0, keepdims=True)
+        log_se = jnp.log(jnp.sum(jnp.exp(z), axis=0, keepdims=True))
+        return z, log_se, value
+
+    def _mlp_policy_actions(self, uniform_actions, u_act, feats, statics):
+        """Sample per-agent actions from the in-kernel MLP policy.
+
+        Each agent's action is a categorical draw from
+        ``softmax(MLP(features))`` using the site-0 uniform (the same
+        draw the uniform path consumes, so the draw-site layout is
+        unchanged). Returns ``(actions [n, B], pol)`` with ``pol``
+        carrying the trajectory emissions: the feature matrix, the
+        sampled action's log-probability, and the value estimate —
+        everything PPO needs besides rewards/dones (which
+        :meth:`_collect_step` adds)."""
+        A = self.amax - self.amin + 1
+        n = len(feats)
+        act_rows, logp_rows, val_rows, feat_rows = [], [], [], []
+        for j in range(n):
+            X = jnp.concatenate(feats[j], axis=0)  # [F, B]
+            feat_rows.append(X)
+            z, log_se, value = self._mlp_forward_agent(X, statics)
+            p = jnp.exp(z - log_se)
+            u = u_act[j : j + 1]
+            # Inverse-CDF draw: idx = #{a : cdf_a <= u}. The loop runs to
+            # A-2 so idx <= A-1 even when float cdf sums below 1.
+            run = jnp.zeros_like(u)
+            idx = jnp.zeros_like(u)
+            for a in range(A - 1):
+                run = run + p[a : a + 1]
+                idx = idx + (run <= u).astype(_F32)
+            aidx = idx.astype(_I32)
+            z_sel = jnp.zeros_like(u)
+            for a in range(A):
+                z_sel = jnp.where(aidx == a, z[a : a + 1], z_sel)
+            logp_rows.append(z_sel - log_se)
+            val_rows.append(value)
+            act_rows.append(self.amin + aidx)
+        greedy = jnp.concatenate(act_rows, axis=0)
+        actions = jnp.where(uniform_actions < 0, uniform_actions, greedy)
+        pol = {
+            "feats": jnp.concatenate(feat_rows, axis=0),   # [n*F, B]
+            "logp": jnp.concatenate(logp_rows, axis=0),    # [n, B]
+            "value": jnp.concatenate(val_rows, axis=0),    # [n, B]
+        }
+        return actions, pol
 
     # ------------------------------------------------------------ epilogue
 
@@ -412,10 +494,221 @@ class FusedMaBase:
             self._pallas_cache[cache_key] = fn
         return fn(S, self._statics_jnp())
 
+    # ------------------------------------------------- trajectory collection
+
+    # Per-step trajectory fields written by the collect drivers, with the
+    # row count of each packed [rows, B] record ("F" = POLICY_FEATURES,
+    # "n" = n_agents) and dtype.
+    def _traj_layout(self):
+        n, F = self.n, self.POLICY_FEATURES
+        return (
+            ("feats", n * F, _F32),
+            ("action", n, _I32),
+            ("logp", n, _F32),
+            ("value", n, _F32),
+            ("reward", n, _F32),
+            ("done", n, _I32),
+        )
+
+    def feats_of(self, S):
+        """Per-agent policy-feature rows for a raw packed state (list of
+        lists of [1, B] rows, same layout as the in-step extraction).
+        Kernels with POLICY_FEATURES > 0 must implement this."""
+        raise NotImplementedError
+
+    def _bootstrap_value(self, S, statics):
+        """Value head on the post-rollout state, [n, B]. Lanes whose
+        episode just ended are masked by ``cont`` in the learner, so no
+        auto-reset is applied here."""
+        feats = self.feats_of(S)
+        rows = []
+        for j in range(self.n):
+            X = jnp.concatenate(feats[j], axis=0)
+            _, _, value = self._mlp_forward_agent(X, statics)
+            rows.append(value)
+        return jnp.concatenate(rows, axis=0)
+
+    def _collect_step(self, S, statics, consts):
+        """One policy step emitting the packed per-step trajectory record:
+        policy features (post auto-reset — the MLP's actual input), the
+        sampled action (-1 for reset lanes / dead agents), its logp, the
+        value estimate, the per-agent scalarized reward (summed over the
+        MO dimensions, the reference's ``scalarise`` semantics), and the
+        per-agent episode-done flag."""
+        out, ex = self._step(S, statics, consts, collect_draws=True)
+        pol = ex["pol"]
+        n, D = self.n, self.D
+        r = ex["rewards"]  # [n*D, B]
+        reward = jnp.concatenate(
+            [
+                jnp.sum(r[j * D : (j + 1) * D], axis=0, keepdims=True)
+                for j in range(n)
+            ],
+            axis=0,
+        )
+        types2 = out["step_types"]
+        done = ((types2 == LAST) | (types2 == DEAD)).astype(_I32)
+        traj = {
+            "feats": pol["feats"],
+            "action": ex["actions"],
+            "logp": pol["logp"],
+            "value": pol["value"],
+            "reward": reward,
+            "done": done,
+        }
+        return out, traj
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_steps"))
+    def _rollout_collect_xla(self, S, statics, n_steps):
+        consts = self._consts_jnp()
+
+        def body(S, _):
+            return self._collect_step(S, statics, consts)
+
+        S, traj = jax.lax.scan(body, S, None, length=n_steps)
+        boot = self._bootstrap_value(S, statics)
+        return S, traj, boot
+
+    def _rollout_collect_pallas(self, S, statics, n_steps, tile, interpret):
+        """Pallas rollout that streams the per-step trajectory to
+        time-chunked output blocks alongside the final state — the whole
+        PPO collection (env physics + policy forward + sampling +
+        emission) is ONE kernel per lane tile."""
+        B = S["t"].shape[1]
+        assert B % tile == 0, "batch must be a multiple of the lane tile"
+        grid = B // tile
+        const_names = sorted(self.consts)
+        static_names = sorted(statics)
+        state_names = list(self.STATE_FIELDS)
+        layout = self._traj_layout()
+
+        def kernel(*refs):
+            nc, ns = len(const_names), len(static_names)
+            consts = {k: r[:] for k, r in zip(const_names, refs[:nc])}
+            statics_k = {
+                k: r[:] for k, r in zip(static_names, refs[nc : nc + ns])
+            }
+            in_refs = refs[nc + ns : nc + ns + len(state_names)]
+            outs = refs[nc + ns + len(state_names) :]
+            out_refs = outs[: len(state_names)]
+            traj_refs = dict(
+                zip(
+                    [name for name, _, _ in layout],
+                    outs[len(state_names) : len(state_names) + len(layout)],
+                )
+            )
+            boot_ref = outs[len(state_names) + len(layout)]
+            Sk = {k: r[:] for k, r in zip(state_names, in_refs)}
+
+            def body(k, Sk):
+                Sk2, traj = self._collect_step(Sk, statics_k, consts)
+                for name in traj_refs:
+                    traj_refs[name][k] = traj[name]
+                return Sk2
+
+            Sk = jax.lax.fori_loop(0, n_steps, body, Sk)
+            for k, r in zip(state_names, out_refs):
+                r[:] = Sk[k]
+            boot_ref[:] = self._bootstrap_value(Sk, statics_k)
+
+        def block(arr, batched):
+            d0 = arr.shape[0]
+            if not batched:
+                return pl.BlockSpec(
+                    (d0, arr.shape[1]), lambda g: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            return pl.BlockSpec(
+                (d0, tile), lambda g: (0, g), memory_space=pltpu.VMEM
+            )
+
+        def traj_block(rows):
+            return pl.BlockSpec(
+                (n_steps, rows, tile), lambda g: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            )
+
+        const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
+        static_vals = [statics[k] for k in static_names]
+        # Kernel statics are [rows, B] (batched) or [rows, 1] (shared);
+        # MLP params are full 2-D blocks every tile reads whole.
+        static_batched = [
+            (not k.startswith("mlp_")) and v.shape[1] != 1
+            for k, v in zip(static_names, static_vals)
+        ]
+        state_vals = [S[k] for k in state_names]
+        out_shapes = (
+            [jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals]
+            + [
+                jax.ShapeDtypeStruct((n_steps, rows, B), dt)
+                for _, rows, dt in layout
+            ]
+            + [jax.ShapeDtypeStruct((self.n, B), _F32)]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[block(v, False) for v in const_vals]
+            + [block(v, b) for v, b in zip(static_vals, static_batched)]
+            + [block(v, True) for v in state_vals],
+            out_specs=[block(v, True) for v in state_vals]
+            + [traj_block(rows) for _, rows, _ in layout]
+            + [
+                pl.BlockSpec(
+                    (self.n, tile), lambda g: (0, g),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*const_vals, *static_vals, *state_vals)
+        S2 = dict(zip(state_names, outs[: len(state_names)]))
+        traj = dict(
+            zip(
+                [name for name, _, _ in layout],
+                outs[len(state_names) : len(state_names) + len(layout)],
+            )
+        )
+        boot = outs[len(state_names) + len(layout)]
+        return S2, traj, boot
+
+    def rollout_collect(self, S, params, n_steps, backend="pallas",
+                        tile=None, interpret=None):
+        """Advance ``n_steps`` under the MLP policy ``params``, emitting
+        the full per-step trajectory (the PPO collection path).
+
+        ``params``: dict with ``mlp_w1`` [H, F], ``mlp_b1`` [H, 1],
+        ``mlp_w2`` [A+1, H], ``mlp_b2`` [A+1, 1] (A action logits + one
+        value row; F = ``POLICY_FEATURES``). Returns ``(S, traj, boot)``
+        where ``traj`` maps each :meth:`_traj_layout` field to a
+        ``[n_steps, rows, B]`` array and ``boot`` is the bootstrap value
+        [n_agents, B] of the post-rollout state. Jit-traceable: call it
+        inside a jitted train step with traced ``params``."""
+        if self.POLICY_FEATURES == 0:
+            raise NotImplementedError(
+                "this kernel has no policy feature extractor"
+            )
+        for k in ("mlp_w1", "mlp_b1", "mlp_w2", "mlp_b2"):
+            if k not in params:
+                raise ValueError(f"missing MLP param {k!r}")
+        statics = {**self._statics_jnp(), **params}
+        if backend == "xla":
+            return self._rollout_collect_xla(S, statics, n_steps)
+        B = S["t"].shape[1]
+        tile = min(self.DEFAULT_TILE if tile is None else tile, B)
+        if interpret is None:
+            interpret = jax.devices()[0].platform == "cpu"
+        return self._rollout_collect_pallas(
+            S, statics, n_steps, tile, interpret
+        )
+
     # ------------------------------------------------------------ interop
 
-    def step_xla(self, S, collect_draws=False):
-        """One un-jitted packed step (for tests)."""
-        return self._step(
-            S, self._statics_jnp(), self._consts_jnp(), collect_draws
-        )
+    def step_xla(self, S, collect_draws=False, params=None):
+        """One un-jitted packed step (for tests). ``params`` optionally
+        installs the MLP policy for this step (collection parity tests)."""
+        statics = self._statics_jnp()
+        if params is not None:
+            statics = {**statics, **params}
+        return self._step(statics=statics, consts=self._consts_jnp(),
+                          S=S, collect_draws=collect_draws)

@@ -271,9 +271,9 @@ class FusedFiremaker(FusedMaBase):
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         feats = None
-        if "pol_w" in statics:
+        if "pol_w" in statics or "mlp_w1" in statics:
             feats = self._policy_feats(pos, at_work, countdown, ext_fires, t)
-        actions, order = self._draw_actions_and_order(
+        actions, order, pol = self._draw_actions_and_order(
             S, over, reasons, ctr0, iota_n, feats=feats, statics=statics
         )
 
@@ -551,9 +551,16 @@ class FusedFiremaker(FusedMaBase):
                 "actions": actions,
                 "rewards": rewards,
                 "over": over,
+                "pol": pol,
                 "slots": draws,
             }
         return out
+
+    def feats_of(self, S):
+        return self._policy_feats(
+            S["pos"], S["at_workshop"], S["countdown"], S["ext_fires"],
+            S["t"],
+        )
 
     # ---------------------------------------------------------- interop
 

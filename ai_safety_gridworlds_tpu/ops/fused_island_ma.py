@@ -375,11 +375,11 @@ class FusedIslandMa(FusedMaBase):
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         feats = None
-        if "pol_w" in statics:
+        if "pol_w" in statics or "mlp_w1" in statics:
             feats = self._policy_feats(
                 pos, drink_sat, food_sat, drink_av, food_av, act_dir
             )
-        actions, order = self._draw_actions_and_order(
+        actions, order, pol = self._draw_actions_and_order(
             S, over, reasons, ctr0, iota_n, feats=feats, statics=statics
         )
 
@@ -736,9 +736,16 @@ class FusedIslandMa(FusedMaBase):
                 "actions": actions,
                 "rewards": rewards,
                 "over": over,
+                "pol": pol,
                 "slots": [{} for _ in range(n)],
             }
         return out
+
+    def feats_of(self, S):
+        return self._policy_feats(
+            S["pos"], S["drink_sat"], S["food_sat"], S["drink_avail"],
+            S["food_avail"], S["act_dir"],
+        )
 
     # ---------------------------------------------------------- interop
 

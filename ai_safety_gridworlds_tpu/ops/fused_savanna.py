@@ -367,11 +367,11 @@ class FusedSavanna(FusedMaBase):
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         feats = None
-        if "pol_w" in statics:
+        if "pol_w" in statics or "mlp_w1" in statics:
             feats = self._policy_feats(
                 pos, drink_sat, food_sat, safety, safety2, obs_dir
             )
-        actions, order = self._draw_actions_and_order(
+        actions, order, pol = self._draw_actions_and_order(
             S, over, reasons, ctr0, iota_n, feats=feats, statics=statics
         )
 
@@ -765,9 +765,16 @@ class FusedSavanna(FusedMaBase):
                 "actions": actions,
                 "rewards": rewards,
                 "over": over,
+                "pol": pol,
                 "slots": draws,
             }
         return out
+
+    def feats_of(self, S):
+        return self._policy_feats(
+            S["pos"], S["drink_sat"], S["food_sat"], S["safety"],
+            S["safety2"], S["obs_dir"],
+        )
 
     def _amount_for(self, ckey: str) -> int:
         return {
