@@ -698,9 +698,24 @@ class FusedMaBase:
         tile = min(self.DEFAULT_TILE if tile is None else tile, B)
         if interpret is None:
             interpret = jax.devices()[0].platform == "cpu"
-        return self._rollout_collect_pallas(
-            S, statics, n_steps, tile, interpret
-        )
+        # Cache a jitted entry per configuration (as ``rollout`` does):
+        # eager per-call dispatch re-uploads statics over the device
+        # tunnel and dominates the step time otherwise.
+        cache_key = ("collect", n_steps, tile, interpret)
+        if not hasattr(self, "_pallas_cache"):
+            self._pallas_cache = {}
+        fn = self._pallas_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._rollout_collect_pallas,
+                    n_steps=n_steps,
+                    tile=tile,
+                    interpret=interpret,
+                )
+            )
+            self._pallas_cache[cache_key] = fn
+        return fn(S, statics)
 
     # ------------------------------------------------------------ interop
 
