@@ -127,7 +127,7 @@ class FusedFiremaker(FusedMaBase):
         # of one per offset (24).
         rows: dict = {}
         for dr, dc, p in env._spread_offsets:
-            rows.setdefault(dr, []).append((dc, float(np.log1p(-p))))
+            rows.setdefault(dr, []).append((dc, float(p)))
         self.spread_rows = sorted(
             (dr, sorted(terms)) for dr, terms in rows.items()
         )
@@ -458,15 +458,15 @@ class FusedFiremaker(FusedMaBase):
                 dc: (jnp.roll(src_f, dc, axis=0) if dc else src_f)
                 for dc in self.spread_dcs
             }
-            acc = jnp.zeros_like(src_f)
+            prod = None
             for dr, terms in self.spread_rows:
-                y = jnp.zeros_like(src_f)
-                for dc, coeff in terms:
-                    y = y + coeff * shifted[dc]
-                acc = acc + (
-                    jnp.roll(y, dr * self.w, axis=0) if dr else y
-                )
-            cum = 1.0 - jnp.exp(acc)
+                y = None
+                for dc, p_off in terms:
+                    f_term = 1.0 - p_off * shifted[dc]
+                    y = f_term if y is None else y * f_term
+                y = jnp.roll(y, dr * self.w, axis=0) if dr else y
+                prod = y if prod is None else prod * y
+            cum = 1.0 - prod
             eligible = ~fire_cleared & spreadable
             cum = jnp.where(eligible, cum, 0.0)
             # Spread-eligible cells (~fire_cleared) and burning cells
@@ -478,14 +478,12 @@ class FusedFiremaker(FusedMaBase):
             spread_cells = cum > 0.0
             spread_set = u_fire < cum
             cont_keep = u_fire < self.cont_p
-            # f32-valued selects (multi-row i1 select_n unsupported).
-            fire_after = jnp.where(
-                spread_cells,
-                spread_set.astype(_F32),
-                fire_cleared.astype(_F32),
-            )
+            # cum is exactly 0 off the eligible set and burning cells are
+            # never eligible, so spread_set alone covers the non-burning
+            # case (f32-valued select: multi-row i1 select_n unsupported).
             fire2_f = jnp.where(
-                fire_cleared, cont_keep.astype(_F32), fire_after
+                fire_cleared, cont_keep.astype(_F32),
+                spread_set.astype(_F32),
             )
             fire2 = fire2_f > 0.5
             if collect_draws:
