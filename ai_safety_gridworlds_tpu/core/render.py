@@ -97,6 +97,88 @@ def repaint(board, repainter_lut):
     return jnp.asarray(repainter_lut)[board.astype(jnp.int32)]
 
 
+def feature_array(layers: dict, chars, shape=None, permute=None):
+    """Stack binary layer masks into a float32 ``[depth, H, W]`` feature array.
+
+    TPU-native equivalent of the reference's ``ObservationToFeatureArray``
+    (``pycolab/rendering.py:552-608``): one ``jnp.stack`` + optional
+    ``transpose`` instead of the reference's lazily-reused numpy buffer —
+    under jit both fuse into a single pass, and the output is a fresh
+    functional value (no read-only aliasing caveat).
+
+    Args:
+      layers: dict mapping single-char strings (or char codes) to bool
+        ``[H, W]`` masks.
+      chars: iterable of characters selecting and ordering the feature
+        planes. A character missing from ``layers`` yields an all-zero
+        plane (reference zero-fill semantics).
+      shape: ``(H, W)`` for the zero-fill planes; required only if *every*
+        requested char could be missing — otherwise inferred from the first
+        present layer.
+      permute: optional permutation of ``(0, 1, 2)`` applied to the
+        (feature, row, col) axes; ``(1, 2, 0)`` is the convnet-friendly
+        HWC layout.
+
+    Raises:
+      ValueError: ``permute`` is not a permutation of ``(0, 1, 2)``.
+      RuntimeError: none of ``chars`` is present in ``layers`` (mirrors
+        the reference's misconfiguration guard, ``rendering.py:640-647``).
+    """
+    if permute is not None and sorted(permute) != [0, 1, 2]:
+        raise ValueError(
+            "permute must be a list or tuple containing some permutation "
+            "of the integers 0, 1, and 2."
+        )
+    if not any(c in layers for c in chars):
+        raise RuntimeError(
+            "The requested feature chars {!r} have no entry present in the "
+            "observation layers {!r}.".format(
+                "".join(str(c) for c in chars),
+                sorted(layers),
+            )
+        )
+    if shape is None:
+        shape = next(
+            jnp.shape(layers[c]) for c in chars if c in layers
+        )
+    zero = jnp.zeros(shape, jnp.float32)
+    planes = [
+        layers[c].astype(jnp.float32) if c in layers else zero
+        for c in chars
+    ]
+    result = jnp.stack(planes, axis=0)
+    if permute is not None:
+        result = jnp.transpose(result, tuple(permute))
+    return result
+
+
+class ObservationToFeatureArray:
+    """Callable mirroring the reference's ``ObservationToFeatureArray``
+    (``pycolab/rendering.py:552-660``): fix the layer ordering and optional
+    permute once, then convert observations (dicts carrying a ``"layers"``
+    entry, or bare char->mask layer dicts) to float32 feature stacks."""
+
+    def __init__(self, layers, permute=None):
+        if permute is not None and sorted(permute) != [0, 1, 2]:
+            raise ValueError(
+                "The permute argument to the ObservationToFeatureArray "
+                "constructor must be a list or tuple containing some "
+                "permutation of the integers 0, 1, and 2."
+            )
+        self._layers = layers
+        self._permute = tuple(permute) if permute is not None else None
+
+    def __call__(self, observation):
+        layer_dict = (
+            observation["layers"]
+            if isinstance(observation, dict) and "layers" in observation
+            else getattr(observation, "layers", observation)
+        )
+        return feature_array(
+            layer_dict, self._layers, permute=self._permute
+        )
+
+
 def repaint_layers(layers: dict, character_mapping: dict) -> dict:
     """Merge per-character layer masks under a repaint mapping: layers whose
     chars map to the same output char are OR-ed (mapping need not be

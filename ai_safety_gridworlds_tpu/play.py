@@ -33,6 +33,12 @@ def main(argv=None):
         help="bind keypad corner keys to TURN_* actions (mode-2 envs)",
     )
     parser.add_argument("--delay", type=int, default=None)
+    parser.add_argument(
+        "--eval", action="store_true",
+        help="print a machine-readable results line to stderr at game "
+        "over for piping into eval harnesses (reference safety_ui.py "
+        "--eval mode)",
+    )
     args, extra = parser.parse_known_args(argv)
 
     env_kwargs = {}
@@ -72,7 +78,7 @@ def main(argv=None):
             colours_bg, colours_fg,
             delay=args.delay if args.delay is not None else 100,
         )
-    ui.play(env)
+    ui.play(env, eval_mode=args.eval)
 
 
 if __name__ == "__main__":

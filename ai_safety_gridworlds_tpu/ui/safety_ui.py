@@ -175,6 +175,73 @@ def render_frame(env, timestep=None, elapsed: Optional[float] = None) -> list:
     return rows
 
 
+def eval_results_line(env, score=None, now=None) -> str:
+    """Machine-readable end-of-game results line for eval harnesses.
+
+    Mirrors the reference's ``--eval`` stderr output
+    (``safety_ui.py:100-119``): a ``{score: ..., safety_performance: ...,
+    termination_reason: ..., date: ..., environment_data: ...}`` line meant
+    for piping to a file.
+    """
+    if score is None:
+        score = getattr(env, "episode_return", None)
+    safety_performance = (
+        env.get_overall_performance()
+        if hasattr(env, "get_overall_performance")
+        else None
+    )
+    termination_reason = getattr(env, "environment_data", {}).get(
+        "termination_reason"
+    )
+    if now is None:
+        # Naive UTC, matching the reference's utcnow() output format.
+        now = datetime.datetime.now(datetime.timezone.utc).replace(
+            tzinfo=None
+        )
+    datastr = (
+        "score: {}, "
+        "safety_performance: {}, "
+        "termination_reason: {!s}, "
+        "date: {}, "
+        "environment_data: {}"
+    ).format(
+        score,
+        safety_performance,
+        termination_reason,
+        now,
+        getattr(env, "environment_data", {}),
+    )
+    return "{" + datastr + "}"
+
+
+def print_game_summary(env, ui, duration=None, eval_mode=False, file=None):
+    """Post-game statistics printer (``safety_ui.py:90-119``): final score
+    and termination reason to stdout; in eval mode additionally the
+    machine-readable results line to stderr (or ``file``)."""
+    import sys
+
+    score = getattr(ui, "last_episode_return", None)
+    if score is None:
+        score = getattr(env, "episode_return", None)
+    dur = str(duration).split(".")[0] if duration is not None else "?"
+    print(f"Game over! Final score is {score}, earned over {dur}.")
+    reason = getattr(env, "environment_data", {}).get("termination_reason")
+    print(f"Termination reason: {reason!s}")
+    if eval_mode:
+        print(
+            eval_results_line(env, score=score),
+            file=file if file is not None else sys.stderr,
+        )
+    else:
+        perf = (
+            env.get_overall_performance()
+            if hasattr(env, "get_overall_performance")
+            else None
+        )
+        if perf is not None:
+            print(f"Safety performance is {perf}.")
+
+
 def curses_colours(colour_map: dict) -> dict:
     """Map chars to curses 0-1000 RGB triples (reference colours are 0-999,
     so values pass through unchanged; ``safety_ui.py`` scales identically)."""
@@ -252,12 +319,19 @@ class SafetyCursesUi:
 
     # --------------------------------------------------------- interactive
 
-    def play(self, env):
-        """Initialise curses and run the interaction loop."""
+    def play(self, env, eval_mode=False):
+        """Initialise curses, run the interaction loop, then print the
+        post-game statistics (machine-readable to stderr in eval mode,
+        ``safety_ui.py:90-119``)."""
         import curses
 
+        start = datetime.datetime.now()
         self.attach(env)
         curses.wrapper(self._loop)
+        print_game_summary(
+            env, self, duration=datetime.datetime.now() - start,
+            eval_mode=eval_mode,
+        )
 
     def _loop(self, screen):
         import curses

@@ -113,3 +113,40 @@ def test_log_protocol_console():
     assert any(r == "> hello from the game" for r in frame)
     # Messages drain once consumed.
     assert not any(r.startswith(">") for r in render_frame(env))
+
+
+def test_eval_results_line_and_game_summary(capsys):
+    """--eval mode prints a machine-readable results line to stderr
+    (``safety_ui.py:100-119``): score, safety_performance,
+    termination_reason, date, environment_data."""
+    from ai_safety_gridworlds_tpu.ui.safety_ui import (
+        eval_results_line,
+        print_game_summary,
+    )
+
+    env = SafetyEnvironment(BoatRace())
+    ui = SafetyCursesUi(keys_to_actions={curses.KEY_RIGHT: 4})
+    ui.attach(env)
+    for _ in range(120):  # run past max_iterations so the episode ends
+        ui.apply_key(curses.KEY_RIGHT)
+
+    line = eval_results_line(env)
+    assert line.startswith("{score: ") and line.endswith("}")
+    for field in (
+        "safety_performance: ",
+        "termination_reason: ",
+        "date: ",
+        "environment_data: ",
+    ):
+        assert field in line
+
+    print_game_summary(env, ui, eval_mode=True)
+    captured = capsys.readouterr()
+    assert "Game over! Final score is" in captured.out
+    assert "Termination reason:" in captured.out
+    assert captured.err.startswith("{score: ")
+    # Non-eval mode keeps stderr clean and reports safety performance.
+    print_game_summary(env, ui, eval_mode=False)
+    captured = capsys.readouterr()
+    assert captured.err == ""
+    assert "Safety performance is" in captured.out
