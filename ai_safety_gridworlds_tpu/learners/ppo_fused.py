@@ -234,6 +234,153 @@ def _loss_packed(params, mb, dims, config: FusedPPOConfig):
     }
 
 
+def _update_from_traj(fused, traj, boot, params, opt_state, opt, dims,
+                      config: FusedPPOConfig, grad_reduce=None):
+    """GAE + epoch/minibatch passes on a packed trajectory; shared by the
+    single-device and sharded train steps. ``grad_reduce`` (e.g. a
+    cross-device ``pmean``) is applied to each minibatch gradient before
+    the optimizer update."""
+    cont = 1.0 - traj["done"].astype(jnp.float32)
+    valid = (traj["action"] >= 0).astype(jnp.float32)
+    adv, ret = _gae_packed(
+        {"reward": traj["reward"], "value": traj["value"], "cont": cont},
+        jax.lax.stop_gradient(boot), config,
+    )
+    data = {
+        "feats": traj["feats"],
+        "action": traj["action"],
+        "logp": traj["logp"],
+        "valid": valid,
+        "adv": adv,
+        "ret": ret,
+    }
+    B = traj["action"].shape[2]
+    if B % config.n_minibatches:
+        raise ValueError(
+            f"batch {B} not divisible by n_minibatches "
+            f"{config.n_minibatches}"
+        )
+    Lb = B // config.n_minibatches
+    all_metrics = []
+    # Static unrolled minibatch passes: each minibatch is a lane block,
+    # each grad step a fixed slice — no data-dependent control flow, no
+    # gathers (see module docstring for why).
+    for _ in range(config.n_epochs):
+        for m_i in range(config.n_minibatches):
+            mb = jax.tree.map(
+                lambda x: x[..., m_i * Lb : (m_i + 1) * Lb], data
+            )
+            (_, metrics), grads = jax.value_and_grad(
+                _loss_packed, has_aux=True
+            )(params, mb, dims, config)
+            if grad_reduce is not None:
+                grads = grad_reduce(grads)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            all_metrics.append(metrics)
+    metrics = jax.tree.map(
+        lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics
+    )
+    metrics["episodes"] = (1.0 - cont).sum()
+    metrics["mean_reward"] = (
+        traj["reward"] * valid
+    ).sum() / jnp.maximum(valid.sum(), 1.0)
+    return params, opt_state, metrics
+
+
+def make_sharded_train_step(
+    fused, mesh, config: FusedPPOConfig = FusedPPOConfig(),
+    axis: str = "data", backend: str = "pallas",
+    tile: int | None = None, interpret: bool | None = None,
+):
+    """Data-parallel fused-PPO update over a ``jax.sharding.Mesh``.
+
+    The packed lane (batch) axis shards over ``axis``; params and
+    optimizer state are replicated. Each device runs the pallas
+    collection kernel (``rollout_collect``) on its lane shard — per-lane
+    statics (randomized layouts) ride in as sharded arguments — computes
+    local minibatch gradients, and gradients/metrics cross the mesh with
+    ``pmean``/``psum`` before the replicated Adam update. This is the
+    production multi-chip composition: the pallas kernel itself inside
+    ``shard_map``, collectives riding ICI.
+
+    Per-shard caveat: advantage normalization and the loss denominator
+    are computed per lane shard (standard data-parallel PPO practice);
+    with equal shard sizes the pmean'd gradient equals the global-batch
+    gradient up to that normalization.
+
+    Returns ``(train_step, shard_state)`` where ``shard_state`` places a
+    ``FusedPPOState`` onto the mesh with the right shardings.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ai_safety_gridworlds_tpu.parallel.mesh import shard_map
+
+    opt = _optimizer(config)
+    dims = (fused.n, fused.POLICY_FEATURES,
+            fused.amax - fused.amin + 1, int(fused.amin))
+    statics_host = fused._statics_jnp()
+    lane_spec = P(None, axis)
+    static_specs = {
+        k: (lane_spec if v.shape[1] != 1 else P())
+        for k, v in statics_host.items()
+    }
+    state_specs = {k: lane_spec for k in fused.STATE_FIELDS}
+    statics_sharded = {
+        k: jax.device_put(v, NamedSharding(mesh, static_specs[k]))
+        for k, v in statics_host.items()
+    }
+
+    def local_update(params, opt_state, S, statics_l, key):
+        key, _ = jax.random.split(key)
+        S2, traj, boot = fused.rollout_collect(
+            S, params, config.n_steps,
+            backend=backend, tile=tile, interpret=interpret,
+            statics=statics_l,
+        )
+        params, opt_state, metrics = _update_from_traj(
+            fused, traj, boot, params, opt_state, opt, dims, config,
+            grad_reduce=lambda g: jax.lax.pmean(g, axis),
+        )
+        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)
+        metrics["episodes"] = metrics["episodes"] * mesh.shape[axis]
+        return params, opt_state, S2, key, metrics
+
+    sharded = shard_map(
+        local_update,
+        mesh=mesh,
+        in_specs=(P(), P(), state_specs, static_specs, P()),
+        out_specs=(P(), P(), state_specs, P(), P()),
+    )
+
+    @jax.jit
+    def train_step(state: FusedPPOState):
+        params, opt_state, S, key, metrics = sharded(
+            state.params, state.opt_state, state.S, statics_sharded,
+            state.key,
+        )
+        return FusedPPOState(
+            params=params,
+            opt_state=opt_state,
+            S=S,
+            key=key,
+            update_idx=state.update_idx + 1,
+        ), metrics
+
+    def shard_state(state: FusedPPOState) -> FusedPPOState:
+        repl = NamedSharding(mesh, P())
+        lanes = NamedSharding(mesh, lane_spec)
+        return FusedPPOState(
+            params=jax.device_put(state.params, repl),
+            opt_state=jax.device_put(state.opt_state, repl),
+            S={k: jax.device_put(v, lanes) for k, v in state.S.items()},
+            key=jax.device_put(state.key, repl),
+            update_idx=jax.device_put(state.update_idx, repl),
+        )
+
+    return train_step, shard_state
+
+
 def make_train_step(
     fused, config: FusedPPOConfig = FusedPPOConfig(),
     backend: str = "pallas", tile: int | None = None,
@@ -251,51 +398,10 @@ def make_train_step(
             state.S, state.params, config.n_steps,
             backend=backend, tile=tile, interpret=interpret,
         )
-        cont = 1.0 - traj["done"].astype(jnp.float32)
-        valid = (traj["action"] >= 0).astype(jnp.float32)
-        adv, ret = _gae_packed(
-            {"reward": traj["reward"], "value": traj["value"],
-             "cont": cont},
-            jax.lax.stop_gradient(boot), config,
+        params, opt_state, metrics = _update_from_traj(
+            fused, traj, boot, state.params, state.opt_state, opt, dims,
+            config,
         )
-        data = {
-            "feats": traj["feats"],
-            "action": traj["action"],
-            "logp": traj["logp"],
-            "valid": valid,
-            "adv": adv,
-            "ret": ret,
-        }
-        B = traj["action"].shape[2]
-        if B % config.n_minibatches:
-            raise ValueError(
-                f"batch {B} not divisible by n_minibatches "
-                f"{config.n_minibatches}"
-            )
-        Lb = B // config.n_minibatches
-        params, opt_state = state.params, state.opt_state
-        all_metrics = []
-        # Static unrolled minibatch passes: each minibatch is a lane
-        # block, each grad step a fixed slice — no data-dependent control
-        # flow, no gathers (see module docstring for why).
-        for _ in range(config.n_epochs):
-            for m_i in range(config.n_minibatches):
-                mb = jax.tree.map(
-                    lambda x: x[..., m_i * Lb : (m_i + 1) * Lb], data
-                )
-                (_, metrics), grads = jax.value_and_grad(
-                    _loss_packed, has_aux=True
-                )(params, mb, dims, config)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                all_metrics.append(metrics)
-        metrics = jax.tree.map(
-            lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics
-        )
-        metrics["episodes"] = (1.0 - cont).sum()
-        metrics["mean_reward"] = (
-            traj["reward"] * valid
-        ).sum() / jnp.maximum(valid.sum(), 1.0)
         new_state = FusedPPOState(
             params=params,
             opt_state=opt_state,

@@ -21,7 +21,12 @@ def make_fused(env):
     """The fused single-kernel step driver for a multi-agent env instance,
     or ``None`` when the env (or its configuration) has no fused kernel —
     callers fall back to the generic vmapped ``ma_rollout`` path then.
+
+    A config-driven fallback is logged loudly: the generic path is
+    25-100x slower, and silently losing that is a perf bug in the making.
     """
+    import logging
+
     name = getattr(env, "name", None)
     try:
         if name == "firemaker_ex_ma":
@@ -39,7 +44,14 @@ def make_fused(env):
                 FusedIslandMa,
             )
             return FusedIslandMa(env)
-    except NotImplementedError:
+    except NotImplementedError as e:
+        logging.getLogger(__name__).warning(
+            "%s has a fused kernel, but this configuration is not "
+            "supported by it (%s); falling back to the generic vmapped "
+            "path (~25-100x slower).",
+            name,
+            e,
+        )
         return None
     return None
 

@@ -448,13 +448,18 @@ class FusedMaBase:
         return dict(zip(state_names, outs))
 
     def rollout(self, S, n_steps, backend="pallas", tile=None,
-                interpret=None):
+                interpret=None, statics=None):
         """Advance the packed batch ``n_steps`` full MA steps.
 
         Returns the updated packed state; cumulative reward sums and
         episode counts accumulate in ``stats_rewards``/``stats_episodes``.
         The lane tile defaults to the kernel's measured optimum and is
         clamped to the batch size (which must remain a multiple of it).
+
+        ``statics`` overrides the kernel statics (same key set as
+        ``_all_statics_np``); pass the lane-local shard when calling
+        inside ``shard_map`` — per-lane statics (randomized layouts,
+        policy params) must be sharded with the state, not closed over.
         """
         if tile is None:
             tile = self.DEFAULT_TILE
@@ -468,8 +473,10 @@ class FusedMaBase:
                     "(set_policies with per-lane params must match "
                     "init_packed's batch)"
                 )
+        if statics is None:
+            statics = self._statics_jnp()
         if backend == "xla":
-            return self._rollout_xla(S, self._statics_jnp(), n_steps)
+            return self._rollout_xla(S, statics, n_steps)
         tile = min(tile, B)
         if interpret is None:
             # The axon remote-TPU plugin reports platform "axon", not
@@ -492,7 +499,7 @@ class FusedMaBase:
                 )
             )
             self._pallas_cache[cache_key] = fn
-        return fn(S, self._statics_jnp())
+        return fn(S, statics)
 
     # ------------------------------------------------- trajectory collection
 
@@ -673,7 +680,7 @@ class FusedMaBase:
         return S2, traj, boot
 
     def rollout_collect(self, S, params, n_steps, backend="pallas",
-                        tile=None, interpret=None):
+                        tile=None, interpret=None, statics=None):
         """Advance ``n_steps`` under the MLP policy ``params``, emitting
         the full per-step trajectory (the PPO collection path).
 
@@ -691,7 +698,10 @@ class FusedMaBase:
         for k in ("mlp_w1", "mlp_b1", "mlp_w2", "mlp_b2"):
             if k not in params:
                 raise ValueError(f"missing MLP param {k!r}")
-        statics = {**self._statics_jnp(), **params}
+        statics = {
+            **(self._statics_jnp() if statics is None else statics),
+            **params,
+        }
         if backend == "xla":
             return self._rollout_collect_xla(S, statics, n_steps)
         B = S["t"].shape[1]

@@ -28,6 +28,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ai_safety_gridworlds_tpu.core import base as core_base
 
 
+def shard_map(f, mesh, in_specs, out_specs, check=False):
+    """Portable ``shard_map``: jax >= 0.8 top-level API (``check_vma``)
+    with fallback to the deprecated experimental path (``check_rep``).
+    ``check=False`` by default — pallas_call bodies don't carry the
+    varying-manual-axes metadata the checker wants."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check,
+        )
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=check,
+    )
+
+
 def make_mesh(
     n_data: Optional[int] = None, n_model: int = 1, devices=None
 ) -> Mesh:

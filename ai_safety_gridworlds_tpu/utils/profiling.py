@@ -50,15 +50,22 @@ def measure_steps_per_second(
     n_reps: int = 3,
     include_observation: bool = True,
     key=None,
+    min_rep_wall_s: float = 0.0,
 ) -> dict:
     """Measure aggregate env steps/s for a batched auto-resetting rollout.
 
-    Compiles once (excluded from timing), then times ``n_reps`` chained scan
-    chunks of ``n_steps`` with ``block_until_ready`` at the end. Long chunks
-    matter: short dispatches are dominated by per-call host->device latency.
+    Compiles once (excluded from timing), then times ``n_reps`` repetitions
+    individually (``block_until_ready`` per rep) so callers get a spread,
+    not just an aggregate. Long measured intervals matter: short dispatches
+    are dominated by per-call host->device latency — ``min_rep_wall_s``
+    (when > 0) calibrates how many chained scan chunks make up one rep so
+    each rep's wall time reaches at least that long; the chunks within a
+    rep are dispatched without intermediate syncs (pipelined, like a real
+    training loop).
 
-    Returns a dict with ``steps_per_sec``, ``wall_time_s``, ``total_steps``,
-    ``device`` and the measurement configuration.
+    Returns a dict with ``steps_per_sec`` (median over reps),
+    ``rep_steps_per_sec`` (per-rep list), ``min``/``max``, ``wall_time_s``,
+    ``total_steps``, ``device`` and the measurement configuration.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -100,20 +107,42 @@ def measure_steps_per_second(
     ep, acc = run(ep, keys[0])  # compile + warm-up
     jax.block_until_ready(acc)
 
-    t0 = time.perf_counter()
-    for i in range(n_reps):
-        ep, acc = run(ep, jax.random.fold_in(keys[0], i))
-    jax.block_until_ready(acc)
-    wall = time.perf_counter() - t0
+    chunks_per_rep = 1
+    if min_rep_wall_s > 0:
+        # Calibrate: one timed chunk decides how many pipelined chunks a
+        # rep needs to outlast dispatch/tunnel jitter.
+        t0 = time.perf_counter()
+        ep, acc = run(ep, jax.random.fold_in(keys[0], 10**6))
+        jax.block_until_ready(acc)
+        chunk_wall = max(time.perf_counter() - t0, 1e-9)
+        chunks_per_rep = max(1, int(min_rep_wall_s / chunk_wall) + 1)
 
-    total = n_reps * n_steps * batch_size
+    rep_rates, wall_total = [], 0.0
+    steps_per_rep = chunks_per_rep * n_steps * batch_size
+    for i in range(n_reps):
+        t0 = time.perf_counter()
+        for j in range(chunks_per_rep):
+            ep, acc = run(
+                ep, jax.random.fold_in(keys[0], i * chunks_per_rep + j)
+            )
+        jax.block_until_ready(acc)
+        wall = time.perf_counter() - t0
+        wall_total += wall
+        rep_rates.append(steps_per_rep / wall)
+
+    sorted_rates = sorted(rep_rates)
+    total = n_reps * steps_per_rep
     return {
-        "steps_per_sec": total / wall,
-        "wall_time_s": wall,
+        "steps_per_sec": sorted_rates[len(sorted_rates) // 2],
+        "rep_steps_per_sec": rep_rates,
+        "min": sorted_rates[0],
+        "max": sorted_rates[-1],
+        "wall_time_s": wall_total,
         "total_steps": total,
         "batch_size": batch_size,
         "n_steps": n_steps,
         "n_reps": n_reps,
+        "chunks_per_rep": chunks_per_rep,
         "include_observation": include_observation,
         "device": str(jax.devices()[0]),
     }

@@ -3,20 +3,30 @@
 Prints ONE JSON line per benchmark config:
 
   boat_race, boat_race_ex, island_navigation, island_navigation_ex
-  (default + full challenge-flag matrix), and the three multi-agent
+  (default + full challenge-flag matrix), the three multi-agent
   flagships firemaker_ex_ma, aintelope_savanna, island_navigation_ex_ma
-  (fused pallas kernels)
+  (fused pallas kernels), and one non-default MA config
+  (firemaker action_direction_mode=1) that exercises the generic vmapped
+  fallback so its cost stays visible
 
 then a final headline line (the one the driver parses) carrying the
 firemaker number — the round's perf frontier — with every config's result
 embedded under "configs".
 
+Rigor: every config reports {value: median, min, max, n_reps} over
+individually-timed repetitions, and each rep is calibrated to a minimum
+wall time (pipelined chunks, one sync per rep) so tunnel/dispatch jitter
+can't swing the number — the r01->r02 boat_race 36.8B -> 14.3B "swing"
+was exactly that: a ~1 ms measured interval at the mercy of ±ms remote
+dispatch latency. Every run also appends its full result set to
+BENCH_HISTORY.jsonl for round-over-round comparison.
+
 Each config steps BATCH auto-resetting environments in lockstep with a
 uniform-random policy, including the value-mapped board observation per
 step for the scalar/MO envs (the same per-step work surface the reference
-exposes through ``SafetyEnvironment.step`` + distiller). The firemaker
-config runs the fully-fused pallas kernel (``ops/fused_firemaker.py``) —
-whole rollout in one kernel, state resident in VMEM.
+exposes through ``SafetyEnvironment.step`` + distiller). The MA flagship
+configs run the fully-fused pallas kernels (``ops/fused_*.py``) — whole
+rollout in one kernel, state resident in VMEM.
 
 vs_baseline divides by the reference's single-stream CPU steps/s measured
 on this machine (the reference publishes no numbers, BASELINE.md):
@@ -27,11 +37,15 @@ on this machine (the reference publishes no numbers, BASELINE.md):
 """
 
 import json
+import statistics
+import subprocess
 import time
 
 import jax
 
 BATCH = 4096
+N_REPS = 5
+MIN_REP_WALL_S = 0.4
 REFERENCE_STEPS_PER_SEC = {
     "boat_race": 4.846e3,
     "island_navigation": 6.232e3,
@@ -39,12 +53,23 @@ REFERENCE_STEPS_PER_SEC = {
     "island_navigation_ex": 1.376e3,
     "island_navigation_ex_full": 1.376e3,
     "firemaker_ex_ma": 607.0,
+    "firemaker_ex_ma_dirmode1_generic": 607.0,
     "aintelope_savanna": 1.251e3,
     "island_navigation_ex_ma": 964.0,
 }
 
 
-def bench_scalar(name, env, n_steps=4096, n_reps=3):
+def _spread(rates):
+    rates = sorted(rates)
+    return {
+        "value": round(statistics.median(rates), 1),
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
+        "n_reps": len(rates),
+    }
+
+
+def bench_scalar(env, n_steps=4096, n_reps=N_REPS):
     from ai_safety_gridworlds_tpu.utils import profiling
 
     out = profiling.measure_steps_per_second(
@@ -53,57 +78,89 @@ def bench_scalar(name, env, n_steps=4096, n_reps=3):
         n_steps=n_steps,
         n_reps=n_reps,
         include_observation=True,
+        min_rep_wall_s=MIN_REP_WALL_S,
     )
-    return out["steps_per_sec"]
+    return _spread(out["rep_steps_per_sec"])
 
 
-def bench_fused(fused, n_steps=256, n_reps=3):
+def bench_fused(fused, n_steps=256, n_reps=N_REPS):
     S = fused.init_packed(seed=0, batch=BATCH)
     S = fused.rollout(S, n_steps)  # compile + warm-up
     jax.block_until_ready(S["t"])
+
     t0 = time.perf_counter()
-    for _ in range(n_reps):
-        S = fused.rollout(S, n_steps)
+    S = fused.rollout(S, n_steps)  # calibrate chunks per rep
     jax.block_until_ready(S["t"])
-    return n_reps * n_steps * BATCH / (time.perf_counter() - t0)
+    chunk_wall = max(time.perf_counter() - t0, 1e-9)
+    chunks = max(1, int(MIN_REP_WALL_S / chunk_wall) + 1)
+
+    rates = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            S = fused.rollout(S, n_steps)
+        jax.block_until_ready(S["t"])
+        rates.append(chunks * n_steps * BATCH / (time.perf_counter() - t0))
+    return _spread(rates)
 
 
-def bench_firemaker_fused(n_steps=256, n_reps=3):
-    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
-    from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
+def bench_generic_ma(game, batch=1024, n_steps=128, n_reps=3):
+    """Generic vmapped MA path — what non-fused configs actually get."""
+    from ai_safety_gridworlds_tpu.ma.safety_game_ma import ma_rollout
 
-    return bench_fused(FusedFiremaker(FiremakerExMa()), n_steps, n_reps)
-
-
-def bench_savanna_fused(n_steps=256, n_reps=3):
-    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
-        AIntelopeSavanna,
+    run = jax.jit(
+        lambda key: ma_rollout(
+            game, key, n_steps=n_steps, batch_size=batch
+        )
     )
-    from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
-
-    return bench_fused(FusedSavanna(AIntelopeSavanna()), n_steps, n_reps)
-
-
-def bench_island_ma_fused(n_steps=256, n_reps=3):
-    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
-        IslandNavigationExMa,
-    )
-    from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
-
-    return bench_fused(FusedIslandMa(IslandNavigationExMa()), n_steps, n_reps)
+    _, stats = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(stats)
+    rates = []
+    for i in range(n_reps):
+        t0 = time.perf_counter()
+        _, stats = run(jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(stats)
+        rates.append(batch * n_steps / (time.perf_counter() - t0))
+    return _spread(rates)
 
 
-def emit(name, sps, extra=None):
+def emit(name, spread, extra=None):
     line = {
         "metric": f"env_steps_per_sec_{name}_b{BATCH}",
-        "value": round(sps, 1),
+        "value": spread["value"],
         "unit": "steps/s",
-        "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC[name], 2),
+        "vs_baseline": round(
+            spread["value"] / REFERENCE_STEPS_PER_SEC[name], 2
+        ),
+        "min": spread["min"],
+        "max": spread["max"],
+        "n_reps": spread["n_reps"],
     }
     if extra:
         line.update(extra)
     print(json.dumps(line), flush=True)
     return line
+
+
+def _append_history(lines):
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = None
+    record = {
+        "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "commit": commit or "unknown",
+        "device": str(jax.devices()[0]),
+        "results": lines,
+    }
+    try:
+        with open("BENCH_HISTORY.jsonl", "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
 
 
 def main():
@@ -115,14 +172,30 @@ def main():
     from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
         IslandNavigationEx,
     )
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+        IslandNavigationExMa,
+    )
+    from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
+    from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
+    from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
 
     # Throwaway warm-up: the first measurement on the remote-TPU (axon)
     # backend absorbs tunnel/runtime warm-up costs that the per-config
     # compile warm-up does not cover (first config otherwise reads ~100x
     # low).
-    bench_scalar("warmup", BoatRace(), n_steps=256, n_reps=1)
+    bench_scalar(BoatRace(), n_steps=256, n_reps=1)
 
-    results = {}
+    history, results = [], {}
+
+    def record(name, spread, extra=None):
+        line = emit(name, spread, extra)
+        history.append(line)
+        results[name] = line["value"]
+
     configs = [
         ("boat_race", lambda: BoatRace()),
         ("island_navigation", lambda: IslandNavigation()),
@@ -141,28 +214,43 @@ def main():
         ),
     ]
     for name, mk in configs:
-        sps = bench_scalar(name, mk())
-        results[name] = emit(name, sps)["value"]
+        record(name, bench_scalar(mk()))
 
-    sps = bench_savanna_fused()
-    results["aintelope_savanna"] = emit(
-        "aintelope_savanna", sps, extra={"kernel": "fused_pallas"}
-    )["value"]
+    record(
+        "aintelope_savanna",
+        bench_fused(FusedSavanna(AIntelopeSavanna())),
+        extra={"kernel": "fused_pallas"},
+    )
+    record(
+        "island_navigation_ex_ma",
+        bench_fused(FusedIslandMa(IslandNavigationExMa())),
+        extra={"kernel": "fused_pallas"},
+    )
 
-    sps = bench_island_ma_fused()
-    results["island_navigation_ex_ma"] = emit(
-        "island_navigation_ex_ma", sps, extra={"kernel": "fused_pallas"}
-    )["value"]
+    # Non-default MA config: the fused kernel rejects
+    # action_direction_mode=1, so this measures the generic vmapped
+    # fallback cost that real users of that flag pay.
+    from ai_safety_gridworlds_tpu import ops as ops_pkg
 
-    sps = bench_firemaker_fused()
-    emit(
+    dirmode_game = FiremakerExMa(action_direction_mode=1)
+    assert ops_pkg.make_fused(dirmode_game) is None
+    record(
+        "firemaker_ex_ma_dirmode1_generic",
+        bench_generic_ma(dirmode_game),
+        extra={"kernel": "generic_vmap", "batch": 1024},
+    )
+
+    headline = bench_fused(FusedFiremaker(FiremakerExMa()))
+    line = emit(
         "firemaker_ex_ma",
-        sps,
+        headline,
         extra={
             "kernel": "fused_pallas",
             "configs": results,
         },
     )
+    history.append(line)
+    _append_history(history)
 
 
 if __name__ == "__main__":
