@@ -9,13 +9,21 @@ gather-free computation over a packed batch layout ([cells, B] boards on
 sublanes, batch on the 128-wide lane axis), runnable as plain XLA or inside
 ONE pallas TPU kernel per rollout chunk with all state resident in VMEM.
 
-Supported configuration: ``sustainability_challenge=False`` (the default) —
-then every resource curtain is STATIC per episode (availability resets to
-the amount flag each sub-step, ``aintelope_savanna.py:1667-1669``), so the
-only dynamic board is the predator curtain, whose random walk becomes four
-static sublane rolls (the all-wall border absorbs wrap-around). Any agent
-count, tile amounts, homeostasis / thirst-death / proportional-reward flags
-are supported; the relative direction modes (reference defaults,
+All savanna configurations are supported. With
+``sustainability_challenge=False`` (the default) every resource curtain is
+STATIC per episode (availability resets to the amount flag each sub-step,
+``aintelope_savanna.py:1667-1669``), so the only dynamic board is the
+predator curtain, whose random walk becomes four static sublane rolls (the
+all-wall border absorbs wrap-around). With ``sustainability_challenge=True``
+the resource curtains and availabilities become per-lane STATE: the
+in-kernel drape phase runs the regrowth power law and the
+without-replacement tile removal/spawn each sub-step, implementing the
+per-env ``select_k`` ("k smallest uniform scores") as K unrolled argmin
+extractions over a per-cell PRF score board (K bounded statically from the
+config's worst-case per-sub-step availability jump; one hash word per cell
+serves both removal and spawn — disjoint cell sets). Any agent count, tile
+amounts, homeostasis / thirst-death / proportional-reward flags are
+supported; the relative direction modes (reference defaults,
 ``aintelope_savanna.py:67-68``) are computed with select-chains over the
 ``_REL_DIR`` table.
 
@@ -87,11 +95,6 @@ class FusedSavanna(FusedMaBase):
     POLICY_FEATURES = 10
 
     def __init__(self, env):
-        if env.cfg["sustainability_challenge"]:
-            raise NotImplementedError(
-                "fused savanna requires sustainability_challenge=False "
-                "(dynamic resource curtains need in-kernel selection sorts)"
-            )
         self.env = env
         self.n = env.n_agents
         self.D = env.reward_space.n_dims
@@ -157,10 +160,73 @@ class FusedSavanna(FusedMaBase):
         self.consts["cell_row"] = (cells // w).reshape(-1, 1)
         self.consts["cell_col"] = (cells % w).reshape(-1, 1)
 
-        # Draw sites per step: 0 actions, 1 permutation, 1 per slot (one
-        # hash word per cell: top 24 bits -> predator move uniform, low 2
-        # bits -> predator direction).
-        self.n_sites = 2 + self.n
+        # --- sustainability challenge: dynamic resource curtains ---------
+        # With the flag on, resource curtains and availabilities become
+        # per-lane STATE; the drape phase (regrowth + without-replacement
+        # tile removal/spawn) runs in-kernel each sub-step. The
+        # without-replacement choice is K unrolled argmin extractions over
+        # a per-cell uniform score board — the k cells with the smallest
+        # scores, exactly the per-env formulation
+        # (``aintelope_savanna.engine_substep`` drape_phase), with K
+        # bounded statically from the config's worst-case per-sub-step
+        # availability jump.
+        self.sustain = bool(cfg["sustainability_challenge"])
+        from ai_safety_gridworlds_tpu.envs.aintelope_savanna import DEFAULTS
+
+        exp_ = float(cfg["DRINK_REGROWTH_EXPONENT"])
+
+        def k_spawn(growth_limit, cond_limit):
+            """Max per-sub-step avail_int rise over the regrowth map."""
+            af = np.linspace(1.0, float(cond_limit), 4096, endpoint=False)
+            grown = np.minimum(float(growth_limit), (af + 1.0) ** exp_)
+            return max(1, int(np.max(np.ceil(grown) - np.ceil(af))))
+
+        self.res_specs = []
+        for name, enabled, rate, use_metric, glk, cond in (
+            ("drink", env._has_drink,
+             float(cfg["DRINK_EXTRACTION_RATE"]),
+             cfg["use_drink_availability_metric_instead_of_spawning_tiles"],
+             "DRINK_GROWTH_LIMIT", float(DEFAULTS["DRINK_GROWTH_LIMIT"])),
+            ("food", env._has_food,
+             float(cfg["FOOD_EXTRACTION_RATE"]),
+             cfg["use_food_availability_metric_instead_of_spawning_tiles"],
+             "FOOD_GROWTH_LIMIT", float(cfg["FOOD_GROWTH_LIMIT"])),
+            ("small_drink", env._has_small_drink,
+             float(cfg["SMALL_DRINK_EXTRACTION_RATE"]),
+             cfg["use_drink_availability_metric_instead_of_spawning_tiles"],
+             "DRINK_GROWTH_LIMIT", float(DEFAULTS["DRINK_GROWTH_LIMIT"])),
+            ("small_food", env._has_small_food,
+             float(cfg["SMALL_FOOD_EXTRACTION_RATE"]),
+             cfg["use_food_availability_metric_instead_of_spawning_tiles"],
+             "FOOD_GROWTH_LIMIT", float(cfg["FOOD_GROWTH_LIMIT"])),
+        ):
+            if not enabled:
+                continue
+            self.res_specs.append({
+                "name": name,
+                "rate": rate,
+                "use_metric": bool(use_metric),
+                "growth_limit": float(cfg[glk]),
+                "cond_limit": cond,
+                "amount": float(self._amount_for(name)),
+                "k_rem": max(1, int(np.ceil(rate))) + 1,
+                "k_spawn": k_spawn(cfg[glk], cond) + 1,
+            })
+
+        base_fields = FusedSavanna.STATE_FIELDS
+        if self.sustain:
+            extra = []
+            for spec in self.res_specs:
+                extra += [f"res_{spec['name']}", f"avail_{spec['name']}"]
+            self.STATE_FIELDS = base_fields + tuple(extra)
+
+        # Draw sites per step: 0 actions, 1 permutation, then per slot one
+        # predator site (one hash word per cell: top 24 bits -> predator
+        # move uniform, low 2 bits -> direction) plus, under
+        # sustainability, one site per resource drape (one word per cell
+        # serves removal AND spawn — disjoint cell sets).
+        self.sites_per_slot = 1 + (len(self.res_specs) if self.sustain else 0)
+        self.n_sites = 2 + self.n * self.sites_per_slot
 
         # Static tile-code ids for the combined per-cell board (see
         # ``init_packed``): exactly one char per cell, so codes are
@@ -172,13 +238,28 @@ class FusedSavanna(FusedMaBase):
 
     # ------------------------------------------------------------- packing
 
-    def init_packed(self, seed: int, batch: int) -> dict:
-        """Draw one randomized map per lane and pack everything into the
+    def init_packed(self, seed: int, batch: int, layout_pool: int = 1) -> dict:
+        """Draw randomized maps per lane and pack everything into the
         [rows, B] layout. Maps are drawn on the HOST (numpy) — the same
         count-enforced interior shuffle as ``sample_reset_options``, but
-        without paying a device compile for the one-off setup."""
+        without paying a device compile for the one-off setup.
+
+        ``layout_pool=K > 1`` draws K independent layouts per lane and the
+        in-kernel auto-reset cycles through them per episode
+        (``ep_idx % K``) — approximating the reference's
+        ``map_randomization_frequency=3`` fresh-map-per-episode semantics
+        without an in-kernel shuffle: each layout in the pool is an
+        independent draw, so the per-episode layout distribution matches;
+        layouts repeat only with period K within a lane."""
         env = self.env
         n, HW, w = self.n, self.HW, self.w
+        K = int(layout_pool)
+        if K < 1:
+            raise ValueError("layout_pool must be >= 1")
+        if K > 1 and not env.cfg["map_randomization_frequency"] >= 1:
+            raise ValueError(
+                "layout_pool > 1 requires map_randomization_frequency >= 1"
+            )
         keys = prng.derive_keys(seed, batch)
         base = np.asarray(env._base_board, np.uint8).copy()
         from ai_safety_gridworlds_tpu.envs.aintelope_savanna import GAP_CHR
@@ -188,19 +269,86 @@ class FusedSavanna(FusedMaBase):
             for r, c in locs[max_count:]:
                 base[r, c] = ord(GAP_CHR)
         rng = np.random.Generator(np.random.PCG64(seed ^ 0x5AFA))
-        boards = np.tile(base.reshape(-1), (batch, 1))  # [B, HW]
         interior = base[1:-1, 1:-1].reshape(-1)
         hi, wi = base.shape[0] - 2, base.shape[1] - 2
-        if env.cfg["map_randomization_frequency"] >= 1:
-            inner = np.tile(interior, (batch, 1))
-            idx = rng.permuted(
-                np.tile(np.arange(interior.size), (batch, 1)), axis=1
-            )
-            inner = np.take_along_axis(inner, idx, axis=1)
-            grid = boards.reshape(batch, *base.shape)
-            grid[:, 1:-1, 1:-1] = inner.reshape(batch, hi, wi)
-            boards = grid.reshape(batch, HW)
-        boards = boards.T  # [HW, B]
+
+        def draw_boards():
+            boards = np.tile(base.reshape(-1), (batch, 1))  # [B, HW]
+            if env.cfg["map_randomization_frequency"] >= 1:
+                inner = np.tile(interior, (batch, 1))
+                idx = rng.permuted(
+                    np.tile(np.arange(interior.size), (batch, 1)), axis=1
+                )
+                inner = np.take_along_axis(inner, idx, axis=1)
+                grid = boards.reshape(batch, *base.shape)
+                grid[:, 1:-1, 1:-1] = inner.reshape(batch, hi, wi)
+                boards = grid.reshape(batch, HW)
+            return boards.T  # [HW, B]
+
+        pools = [self._layout_statics(draw_boards()) for _ in range(K)]
+        statics, kstatics = pools[0]
+        for k in range(1, K):
+            for key_, v in pools[k][1].items():
+                kstatics[key_ + f"_p{k}"] = v
+        self.layout_pool = K
+        self._statics_np_pool = [p[0] for p in pools]
+
+        sat0 = {}
+        cfg = env.cfg
+        sat0["drink"] = float(
+            cfg["DRINK_DEFICIENCY_INITIAL"] if env._drink_flags_on else 0.0
+        )
+        sat0["food"] = float(
+            cfg["FOOD_DEFICIENCY_INITIAL"] if env._food_flags_on else 0.0
+        )
+        self.sat0 = sat0
+
+        state = {
+            "pos": jnp.asarray(statics["pos0"]),
+            "predator": jnp.asarray(statics["predator0"]),
+            "reasons": jnp.full((n, batch), NONE, _I32),
+            "step_types": jnp.full((n, batch), FIRST, _I32),
+            "act_dir": jnp.full((n, batch), int(Directions.UP), _I32),
+            "obs_dir": jnp.full((n, batch), int(Directions.UP), _I32),
+            "step_count": jnp.zeros((n, batch), _I32),
+            "drink_sat": jnp.full((n, batch), sat0["drink"], _F32),
+            "food_sat": jnp.full((n, batch), sat0["food"], _F32),
+            "visits": jnp.zeros((n * 7, batch), _I32),
+            "safety": jnp.full((n, batch), 3, _I32),
+            "safety2": jnp.full((n, batch), 3, _I32),
+            "t": jnp.zeros((1, batch), _I32),
+            "key": jnp.asarray(keys),
+            "draw_ctr": jnp.zeros((1, batch), jnp.uint32),
+            "stats_rewards": jnp.zeros((n * self.D, batch), _F32),
+            "stats_episodes": jnp.zeros((1, batch), _I32),
+        }
+        if self.sustain:
+            for spec in self.res_specs:
+                state["res_" + spec["name"]] = jnp.asarray(
+                    statics[spec["name"]]
+                )
+                state["avail_" + spec["name"]] = jnp.full(
+                    (1, batch), spec["amount"], _F32
+                )
+        fields = tuple(
+            f for f in self.STATE_FIELDS if f != "ep_idx"
+        )
+        if K > 1:
+            state["ep_idx"] = jnp.zeros((1, batch), _I32)
+            fields = fields + ("ep_idx",)
+        self.STATE_FIELDS = fields
+        self._statics_np = statics
+        self._kstatics_np = kstatics
+        self._invalidate_device_cache()
+        return state
+
+    def _layout_statics(self, boards):
+        """Per-layout packed boards: full host mask set + the kernel
+        statics (combined code/distance board, walls, initial positions,
+        predators, sustainability resources)."""
+        env = self.env
+        n, HW, w = self.n, self.HW, self.w
+        batch = boards.shape[1]
 
         def mask(chr_):
             return (boards == ord(chr_)).astype(np.float32)
@@ -236,7 +384,12 @@ class FusedSavanna(FusedMaBase):
         # dynamic predator curtain is tracked separately, matching the
         # unfused formulation where vacated predator cells read as gap.
         code = np.zeros((HW, batch), np.float32)
+        res_names = {spec["name"] for spec in self.res_specs}
         for name, cid in self.tile_codes.items():
+            if self.sustain and name in res_names:
+                # Sustainability: resource tiles are dynamic state
+                # curtains, not static codes.
+                continue
             if cid:
                 code += cid * statics[name]
         if env._has_water:
@@ -267,40 +420,15 @@ class FusedSavanna(FusedMaBase):
             "pos0": pos0,
             "sboard": sboard,
         }
-
-        sat0 = {}
-        cfg = env.cfg
-        sat0["drink"] = float(
-            cfg["DRINK_DEFICIENCY_INITIAL"] if env._drink_flags_on else 0.0
-        )
-        sat0["food"] = float(
-            cfg["FOOD_DEFICIENCY_INITIAL"] if env._food_flags_on else 0.0
-        )
-        self.sat0 = sat0
-
-        state = {
-            "pos": jnp.asarray(pos0),
-            "predator": jnp.asarray(statics["predator0"]),
-            "reasons": jnp.full((n, batch), NONE, _I32),
-            "step_types": jnp.full((n, batch), FIRST, _I32),
-            "act_dir": jnp.full((n, batch), int(Directions.UP), _I32),
-            "obs_dir": jnp.full((n, batch), int(Directions.UP), _I32),
-            "step_count": jnp.zeros((n, batch), _I32),
-            "drink_sat": jnp.full((n, batch), sat0["drink"], _F32),
-            "food_sat": jnp.full((n, batch), sat0["food"], _F32),
-            "visits": jnp.zeros((n * 7, batch), _I32),
-            "safety": jnp.full((n, batch), 3, _I32),
-            "safety2": jnp.full((n, batch), 3, _I32),
-            "t": jnp.zeros((1, batch), _I32),
-            "key": jnp.asarray(keys),
-            "draw_ctr": jnp.zeros((1, batch), jnp.uint32),
-            "stats_rewards": jnp.zeros((n * self.D, batch), _F32),
-            "stats_episodes": jnp.zeros((1, batch), _I32),
-        }
-        self._statics_np = statics
-        self._kstatics_np = kstatics
-        self._invalidate_device_cache()
-        return state
+        if self.sustain:
+            for spec in self.res_specs:
+                kstatics["res0_" + spec["name"]] = statics[spec["name"]]
+            # floor(usable-cell count / 2) per lane: the regrowth clamp
+            # (per-env ``usable = (~state.wall).sum()``).
+            kstatics["usable_half"] = (
+                (HW - statics["wall"].sum(axis=0, keepdims=True)) // 2
+            ).astype(np.float32)
+        return statics, kstatics
 
     STATE_FIELDS = (
         "pos", "predator", "reasons", "step_types", "act_dir", "obs_dir",
@@ -338,20 +466,41 @@ class FusedSavanna(FusedMaBase):
         iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0)
         iota_hw = jax.lax.broadcasted_iota(_I32, (HW, 1), 0)
 
-        wall_f = statics["wall"]
-        sboard = statics["sboard"]
         codes = self.tile_codes
-        pos0 = statics["pos0"].astype(_I32)
 
         # ---- auto-reset lanes whose episode ended last step ----------------
         types = S["step_types"]
         over = jnp.all(
             (types == LAST) | (types == DEAD), axis=0, keepdims=True
         )
+
+        # Layout pool: each lane's per-episode layout comes from a K-way
+        # select over the pooled statics (``ep_idx % K``); K == 1 reads
+        # the statics directly (no overhead).
+        K = getattr(self, "layout_pool", 1)
+        ep_idx = None
+        if K > 1:
+            ep_idx = jnp.where(over, S["ep_idx"] + 1, S["ep_idx"])
+            li = jnp.mod(ep_idx, K)
+
+            def pooled(base_key):
+                v = statics[base_key]
+                for k in range(1, K):
+                    v = jnp.where(li == k, statics[f"{base_key}_p{k}"], v)
+                return v
+        else:
+            def pooled(base_key):
+                return statics[base_key]
+
+        wall_f = pooled("wall")
+        sboard = pooled("sboard")
+        pos0 = pooled("pos0").astype(_I32)
+        predator0 = pooled("predator0")
+
         pos = jnp.where(over, pos0, S["pos"])
         # f32-valued select: Mosaic rejects multi-row i1-valued select_n
         # (i8->i1 truncation), so board-shaped state stays f32.
-        predator_f = jnp.where(over, statics["predator0"], S["predator"])
+        predator_f = jnp.where(over, predator0, S["predator"])
         predator = predator_f > 0.5
         reasons = jnp.where(over, NONE, S["reasons"])
         types = jnp.where(over, FIRST, types)
@@ -364,6 +513,16 @@ class FusedSavanna(FusedMaBase):
         safety = jnp.where(over, 3, S["safety"])
         safety2 = jnp.where(over, 3, S["safety2"])
         t = jnp.where(over, 0, S["t"])
+        res, avail = {}, {}
+        if self.sustain:
+            for spec in self.res_specs:
+                name = spec["name"]
+                res[name] = jnp.where(
+                    over, pooled("res0_" + name), S["res_" + name]
+                )
+                avail[name] = jnp.where(
+                    over, _F32(spec["amount"]), S["avail_" + name]
+                )
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         feats = None
@@ -475,6 +634,12 @@ class FusedSavanna(FusedMaBase):
             pred_at = (
                 jnp.sum(np_oh_f * predator_f, axis=0, keepdims=True) > 0.5
             )
+            # Sustainability: resource identity comes from the dynamic
+            # curtains (one reduction each), not the static code board.
+            on_res = {
+                name: jnp.sum(np_oh_f * cur, axis=0, keepdims=True) > 0.5
+                for name, cur in res.items()
+            }
 
             # --- satiation decrements + thirst/hunger death -----------------
             sat_sel = sel_f * activef
@@ -506,24 +671,50 @@ class FusedSavanna(FusedMaBase):
                         limit, visit_col, enabled, gate):
                 if not enabled:
                     return rewards, sat, jnp.zeros_like(active)
-                on_tile = (code_at == float(codes[ckey])) & active & gate
+                raw = (
+                    on_res[ckey] if self.sustain
+                    else code_at == float(codes[ckey])
+                )
+                on_tile = raw & active & gate
                 onf = on_tile.astype(_F32)
                 nonlocal visits
                 visits = visits + (
                     (vrow_agent == i) & (vrow_col == visit_col)
                 ).astype(_I32) * on_tile.astype(_I32)
-                # avail == the amount flag > 0 always (sustainability off),
-                # so got == on_tile and min(avail, rate) is static.
-                rewards = addr(rewards, score_key, sel_nd, onf)
-                amount = float(self._amount_for(ckey))
-                if cfg["penalise_oversatiation"]:
-                    sat = sat + sel_f * onf * _F32(min(amount, rate))
-                if limit >= 0:
-                    sat_i = jnp.sum(sat * sel_f, axis=0, keepdims=True)
-                    clamp = on_tile & (sat_i > 0)
-                    sat = jnp.where(
-                        sel & clamp, jnp.minimum(_F32(limit), sat), sat
+                if self.sustain:
+                    # Dynamic availability: score/satiation gate on
+                    # ``got = on_tile & (avail > 0)`` and extraction
+                    # draws the availability down (per-env ``consume``).
+                    av = avail[ckey]
+                    got = on_tile & (av > 0.0)
+                    gotf = got.astype(_F32)
+                    rewards = addr(rewards, score_key, sel_nd, gotf)
+                    if cfg["penalise_oversatiation"]:
+                        sat = sat + sel_f * gotf * jnp.minimum(
+                            av, _F32(rate)
+                        )
+                    if limit >= 0:
+                        sat_i = jnp.sum(sat * sel_f, axis=0, keepdims=True)
+                        clamp = got & (sat_i > 0)
+                        sat = jnp.where(
+                            sel & clamp, jnp.minimum(_F32(limit), sat), sat
+                        )
+                    avail[ckey] = jnp.where(
+                        got, jnp.maximum(0.0, av - _F32(rate)), av
                     )
+                else:
+                    # avail == the amount flag > 0 always, so got ==
+                    # on_tile and min(avail, rate) is static.
+                    rewards = addr(rewards, score_key, sel_nd, onf)
+                    amount = float(self._amount_for(ckey))
+                    if cfg["penalise_oversatiation"]:
+                        sat = sat + sel_f * onf * _F32(min(amount, rate))
+                    if limit >= 0:
+                        sat_i = jnp.sum(sat * sel_f, axis=0, keepdims=True)
+                        clamp = on_tile & (sat_i > 0)
+                        sat = jnp.where(
+                            sel & clamp, jnp.minimum(_F32(limit), sat), sat
+                        )
                 if coop_key is not None and n > 1 and rv[coop_key] is not None:
                     rewards = rewards + rv[coop_key] * (1.0 - sel_nd) * onf
                 return rewards, sat, on_tile
@@ -596,6 +787,9 @@ class FusedSavanna(FusedMaBase):
             # --- gap visit ---------------------------------------------------
             others = jnp.any((pos == new_pos_i) & ~sel, axis=0, keepdims=True)
             on_gap = (code_at == 0.0) & ~pred_at & ~others & active
+            for raw in on_res.values():
+                # Dynamic resource cells read code 0 on the static board.
+                on_gap = on_gap & ~raw
             visits = visits + (
                 (vrow_agent == i) & (vrow_col == 0)
             ).astype(_I32) * on_gap.astype(_I32)
@@ -673,15 +867,17 @@ class FusedSavanna(FusedMaBase):
                 )
 
             # --- predators (``engine_substep:1585-1657``) -------------------
+            slot_draws = {}
+            slot_base = 2 + slot * self.sites_per_slot
+            player_cells = jnp.zeros((HW,) + a.shape[1:], bool)
+            for j in range(n):
+                player_cells = player_cells | (iota_hw == pos[j : j + 1])
             if env._has_predators:
                 on_pred = pred_at & active
                 rewards = addr(
                     rewards, "PREDATOR_NPC_SCORE", sel_nd,
                     on_pred.astype(_F32),
                 )
-                player_cells = jnp.zeros((HW,) + a.shape[1:], bool)
-                for j in range(n):
-                    player_cells = player_cells | (iota_hw == pos[j : j + 1])
                 alive = reasons == NONE
                 cmax = jnp.max(
                     jnp.where(alive, step_count, -1), axis=0, keepdims=True
@@ -695,7 +891,7 @@ class FusedSavanna(FusedMaBase):
                 # top 24 bits give the movement uniform, the low 2 bits an
                 # independent direction (murmur3 finalizer bits avalanche).
                 bits = prng.hash_u32(
-                    key_hi, key_lo, ctr0 + np.uint32(2 + slot), iota_hw
+                    key_hi, key_lo, ctr0 + np.uint32(slot_base), iota_hw
                 )
                 u_move = prng.uniform01(bits)
                 move_mask = (
@@ -732,10 +928,100 @@ class FusedSavanna(FusedMaBase):
                 # Commit only for acting lanes (non-acting sub-steps no-op).
                 predator_f = jnp.where(acting, cur_f, predator_f)
                 predator = predator_f > 0.5
-                if collect_draws:
-                    draws.append({"predator_after": predator})
-            elif collect_draws:
-                draws.append({})
+                slot_draws["predator_after"] = predator
+
+            # --- resource drapes (``engine_substep`` drape_phase) -----------
+            # Per sub-step and per enabled resource: availability
+            # maintenance (static reset, or sustainability regrowth), then
+            # without-replacement tile removal/spawn tracking avail.
+            if self.sustain:
+                player_f = player_cells.astype(_F32)
+                for r_idx, spec in enumerate(self.res_specs):
+                    name = spec["name"]
+                    cur_f, av = res[name], avail[name]
+                    # Regrowth: any agent standing on the curtain blocks it.
+                    on_any = (
+                        jnp.sum(cur_f * player_f, axis=0, keepdims=True)
+                        > 0.5
+                    )
+                    can_grow = (
+                        (t > 0) & ~on_any & (av >= 1.0)
+                        & (av < _F32(spec["cond_limit"]))
+                    )
+                    grown = jnp.minimum(
+                        _F32(spec["growth_limit"]),
+                        jnp.exp(
+                            _F32(float(cfg["DRINK_REGROWTH_EXPONENT"]))
+                            * jnp.log(av + 1.0)
+                        ),
+                    )
+                    grown = jnp.minimum(grown, pooled("usable_half"))
+                    av_new = jnp.where(can_grow, grown, av)
+                    av_int = jnp.ceil(av_new)
+                    if not spec["use_metric"]:
+                        # One hash word per cell serves removal (curtain
+                        # cells) and spawn (free cells) — disjoint sets.
+                        u = prng.uniform(
+                            key_hi, key_lo,
+                            ctr0 + np.uint32(slot_base + 1 + r_idx),
+                            iota_hw,
+                        )
+                        current = jnp.sum(cur_f, axis=0, keepdims=True)
+                        need = jnp.maximum(current - av_int, 0.0)
+                        # Removal pass 1 (non-player cells), then pass 2
+                        # over the remainder: K unrolled argmin
+                        # extractions each == "the k smallest scores"
+                        # (per-env select_k threshold semantics).
+                        for pass_mask in (
+                            (cur_f > 0.5) & ~player_cells,
+                            None,  # pass 2: whatever is still on the curtain
+                        ):
+                            scores = jnp.where(
+                                (cur_f > 0.5) if pass_mask is None
+                                else pass_mask,
+                                u, 2.0,
+                            )
+                            for _ in range(spec["k_rem"]):
+                                minv = jnp.min(
+                                    scores, axis=0, keepdims=True
+                                )
+                                pick = (
+                                    (scores <= minv) & (minv < 1.5)
+                                    & (need > 0.5)
+                                )
+                                pickf = pick.astype(_F32)
+                                cur_f = cur_f - pickf
+                                scores = jnp.where(pick, 2.0, scores)
+                                need = need - jnp.sum(
+                                    pickf, axis=0, keepdims=True
+                                )
+                        # Spawn onto free non-wall, non-player cells.
+                        current = jnp.sum(cur_f, axis=0, keepdims=True)
+                        grow = jnp.maximum(av_int - current, 0.0)
+                        scores = jnp.where(
+                            (cur_f < 0.5)
+                            & (wall_f < 0.5) & ~player_cells,
+                            u, 2.0,
+                        )
+                        for _ in range(spec["k_spawn"]):
+                            minv = jnp.min(scores, axis=0, keepdims=True)
+                            pick = (
+                                (scores <= minv) & (minv < 1.5)
+                                & (grow > 0.5)
+                            )
+                            pickf = pick.astype(_F32)
+                            cur_f = cur_f + pickf
+                            scores = jnp.where(pick, 2.0, scores)
+                            grow = grow - jnp.sum(
+                                pickf, axis=0, keepdims=True
+                            )
+                    # Commit only for acting lanes.
+                    res[name] = jnp.where(acting, cur_f, res[name])
+                    avail[name] = jnp.where(acting, av_new, avail[name])
+                    slot_draws[name + "_after"] = res[name] > 0.5
+
+            if collect_draws:
+                draws.append(slot_draws)
 
         # ---- finalize (``MaSafetyGridworld.finalize_step``) -----------------
         types, done = self._finalize_types(t, reasons, types, over)
@@ -759,6 +1045,11 @@ class FusedSavanna(FusedMaBase):
             "stats_rewards": S["stats_rewards"] + rewards,
             "stats_episodes": S["stats_episodes"] + done.astype(_I32),
         }
+        for name in res:
+            out["res_" + name] = res[name]
+            out["avail_" + name] = avail[name]
+        if ep_idx is not None:
+            out["ep_idx"] = ep_idx
         if collect_draws:
             return out, {
                 "order": order,
@@ -795,6 +1086,10 @@ class FusedSavanna(FusedMaBase):
         env = self.env
         n, h, w = self.n, self.h, self.w
         st = self._statics_np
+        if getattr(self, "layout_pool", 1) > 1 and "ep_idx" in S:
+            st = self._statics_np_pool[
+                int(np.asarray(S["ep_idx"][0, lane])) % self.layout_pool
+            ]
 
         def grid2d(field):
             return jnp.asarray(
@@ -803,6 +1098,22 @@ class FusedSavanna(FusedMaBase):
 
         pos_flat = np.asarray(S["pos"][:, lane])
         cfg = self.cfg
+
+        def curtain(name, static_key):
+            if self.sustain and ("res_" + name) in S:
+                return jnp.asarray(
+                    np.asarray(S["res_" + name][:, lane]).reshape(h, w)
+                    > 0.5
+                )
+            return grid2d(st[static_key])
+
+        def avail_of(name, amount_flag):
+            if self.sustain and ("avail_" + name) in S:
+                return jnp.asarray(
+                    np.asarray(S["avail_" + name][0, lane]), jnp.float32
+                )
+            return jnp.float32(cfg[amount_flag])
+
         return SavannaState(
             t=jnp.asarray(np.asarray(S["t"][0, lane]), _I32),
             key=jax.random.PRNGKey(0),
@@ -820,17 +1131,21 @@ class FusedSavanna(FusedMaBase):
             water=grid2d(st["water"]),
             gold=grid2d(st["gold"]),
             silver=grid2d(st["silver"]),
-            drink_curtain=grid2d(st["drink"]),
-            food_curtain=grid2d(st["food"]),
-            small_drink_curtain=grid2d(st["small_drink"]),
-            small_food_curtain=grid2d(st["small_food"]),
+            drink_curtain=curtain("drink", "drink"),
+            food_curtain=curtain("food", "food"),
+            small_drink_curtain=curtain("small_drink", "small_drink"),
+            small_food_curtain=curtain("small_food", "small_food"),
             predator_curtain=jnp.asarray(
                 np.asarray(S["predator"][:, lane]).reshape(h, w) > 0.5
             ),
-            drink_avail=jnp.float32(cfg["amount_drink_holes"]),
-            food_avail=jnp.float32(cfg["amount_food_patches"]),
-            small_drink_avail=jnp.float32(cfg["amount_small_drink_holes"]),
-            small_food_avail=jnp.float32(cfg["amount_small_food_patches"]),
+            drink_avail=avail_of("drink", "amount_drink_holes"),
+            food_avail=avail_of("food", "amount_food_patches"),
+            small_drink_avail=avail_of(
+                "small_drink", "amount_small_drink_holes"
+            ),
+            small_food_avail=avail_of(
+                "small_food", "amount_small_food_patches"
+            ),
             drink_satiation=jnp.asarray(np.asarray(S["drink_sat"][:, lane])),
             food_satiation=jnp.asarray(np.asarray(S["food_sat"][:, lane])),
             visits=jnp.asarray(

@@ -35,11 +35,32 @@ RICH_KW = dict(
 )
 
 
-def _run_equivalence(env, seed, steps, B=8):
+def _inject_opts(fused, dbg, slot, b, h, w):
+    """Injection options for one per-env sub-step from the kernel's
+    captured draws: post-walk predator curtain and (under sustainability)
+    the post-drape resource curtains."""
+    opts = {}
+    slot_draws = dbg["slots"][slot]
+    for key, inj in (
+        ("predator_after", "inj_predator_curtain"),
+        ("drink_after", "inj_drink_curtain"),
+        ("food_after", "inj_food_curtain"),
+        ("small_drink_after", "inj_small_drink_curtain"),
+        ("small_food_after", "inj_small_food_curtain"),
+    ):
+        if key in slot_draws:
+            opts[inj] = jnp.asarray(
+                np.asarray(slot_draws[key])[:, b].reshape(h, w)
+            )
+    return opts
+
+
+def _run_equivalence(env, seed, steps, B=8, layout_pool=1):
     fused = FusedSavanna(env)
-    S = fused.init_packed(seed=seed, batch=B)
+    S = fused.init_packed(seed=seed, batch=B, layout_pool=layout_pool)
     apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
     n, h, w = fused.n, fused.h, fused.w
+    sustain = fused.sustain
     for step in range(steps):
         per_env = [fused.unpack_lane(S, b) for b in range(B)]
         S2, dbg = fused.step_xla(S, collect_draws=True)
@@ -53,13 +74,7 @@ def _run_equivalence(env, seed, steps, B=8):
             for slot in range(n):
                 i = int(order[slot, b])
                 a = int(actions[i, b])
-                opts = {}
-                if dbg["slots"][slot]:
-                    opts["inj_predator_curtain"] = jnp.asarray(
-                        np.asarray(
-                            dbg["slots"][slot]["predator_after"]
-                        )[:, b].reshape(h, w)
-                    )
+                opts = _inject_opts(fused, dbg, slot, b, h, w)
                 state_b, _ = apply_fn(
                     state_b, jnp.int32(i), jnp.int32(a), opts or None, slot
                 )
@@ -67,15 +82,36 @@ def _run_equivalence(env, seed, steps, B=8):
                 state_b, env.zero_rewards()
             )
             ref_state = fused.unpack_lane(S2, b)
-            for field in (
+            fields = [
                 "t", "pos", "step_types", "termination_reasons",
                 "action_direction", "observation_direction", "step_count",
-                "predator_curtain", "drink_satiation", "food_satiation",
-                "visits", "safety", "safety2",
-            ):
+                "predator_curtain", "visits", "safety", "safety2",
+            ]
+            if sustain:
+                fields += [
+                    "drink_curtain", "food_curtain",
+                    "small_drink_curtain", "small_food_curtain",
+                ]
+            for field in fields:
                 np.testing.assert_array_equal(
                     np.asarray(getattr(state_b, field)),
                     np.asarray(getattr(ref_state, field)),
+                    err_msg=f"step {step} lane {b} field {field}",
+                )
+            # Satiation/availability run through the regrowth power law
+            # (exp/log in-kernel vs jnp.power per-env) — allclose, and
+            # exactly equal when sustainability is off.
+            float_fields = ["drink_satiation", "food_satiation"]
+            if sustain:
+                float_fields += [
+                    "drink_avail", "food_avail",
+                    "small_drink_avail", "small_food_avail",
+                ]
+            for field in float_fields:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(state_b, field)),
+                    np.asarray(getattr(ref_state, field)),
+                    rtol=0, atol=(1e-4 if sustain else 0),
                     err_msg=f"step {step} lane {b} field {field}",
                 )
         S = S2
@@ -175,7 +211,122 @@ def test_per_lane_maps_differ():
     assert np.unique(food.T, axis=0).shape[0] > 1
 
 
-def test_fused_requires_no_sustainability():
+SUSTAIN_KW = dict(RICH_KW, sustainability_challenge=True)
+
+
+def test_fused_step_matches_per_env_sustainability():
+    """Dynamic resource curtains + availabilities: the in-kernel drape
+    phase (regrowth, removal/spawn) stays lockstep with the per-env chain
+    when the kernel's curtain draws are injected."""
+    _run_equivalence(AIntelopeSavanna(**SUSTAIN_KW), seed=9, steps=12)
+
+
+def test_fused_rewards_match_per_env_sustainability():
+    env = AIntelopeSavanna(**SUSTAIN_KW)
+    fused = FusedSavanna(env)
+    B = 4
+    S = fused.init_packed(seed=13, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    n, h, w, D = fused.n, fused.h, fused.w, fused.D
+    for step in range(6):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        prev_stats = np.asarray(S["stats_rewards"])
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        fused_step_rewards = np.asarray(S2["stats_rewards"]) - prev_stats
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            total = np.zeros((n, D), np.float32)
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                opts = _inject_opts(fused, dbg, slot, b, h, w)
+                state_b, delta = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), opts or None, slot
+                )
+                total += np.asarray(delta)
+            np.testing.assert_allclose(
+                fused_step_rewards[:, b].reshape(n, D), total,
+                rtol=0, atol=1e-5, err_msg=f"step {step} lane {b}",
+            )
+        S = S2
+
+
+def test_xla_pallas_bit_identity_sustainability():
+    env = AIntelopeSavanna(**SUSTAIN_KW)
+    fused = FusedSavanna(env)
+    B = 64
+    S0 = fused.init_packed(seed=17, batch=B)
+    Sx = fused.rollout(dict(S0), 20, backend="xla")
+    Sp = fused.rollout(
+        dict(S0), 20, backend="pallas", tile=32, interpret=True
+    )
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    # The curtains actually changed (the drape phase is live).
+    assert not np.array_equal(
+        np.asarray(Sx["res_food"]), np.asarray(S0["res_food"])
+    )
+
+
+def test_layout_pool_cycles_per_episode():
+    """K pooled layouts: independent draws with identical tile counts,
+    cycled by the in-kernel reset (``ep_idx % K``)."""
+    env = AIntelopeSavanna(**dict(RICH_KW, max_iterations=4))
+    fused = FusedSavanna(env)
+    K, B = 3, 8
+    S = fused.init_packed(seed=21, batch=B, layout_pool=K)
+    pools = fused._statics_np_pool
+    assert len(pools) == K
+    # Independent draws: layouts differ across the pool...
+    assert not np.array_equal(pools[0]["pos0"], pools[1]["pos0"])
+    # ...but every layout preserves the count-enforced tile totals
+    # (distribution equivalence of the per-episode re-draw).
+    for key in ("food", "gold", "silver", "wall", "drink"):
+        c0 = pools[0][key].sum(axis=0)
+        for p in pools[1:]:
+            np.testing.assert_array_equal(p[key].sum(axis=0), c0)
+    seen = set()
+    for _ in range(30):
+        S = fused.step_xla(S)
+        seen.update(np.asarray(S["ep_idx"])[0].tolist())
+    assert max(seen) >= K, "lanes never cycled through the pool"
+
+
+def test_fused_step_matches_per_env_layout_pool():
+    """Post-reset episodes replay against the NEW pooled layout: the
+    per-env chain (rebuilt per lane from the pooled statics) stays in
+    lockstep across in-kernel episode boundaries."""
+    _run_equivalence(
+        AIntelopeSavanna(**dict(RICH_KW, max_iterations=5)),
+        seed=23, steps=12, layout_pool=3,
+    )
+
+
+def test_xla_pallas_bit_identity_layout_pool():
+    env = AIntelopeSavanna(**dict(RICH_KW, max_iterations=6))
+    fused = FusedSavanna(env)
+    S0 = fused.init_packed(seed=29, batch=64, layout_pool=2)
+    Sx = fused.rollout(dict(S0), 20, backend="xla")
+    Sp = fused.rollout(
+        dict(S0), 20, backend="pallas", tile=32, interpret=True
+    )
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    assert np.asarray(Sx["ep_idx"]).max() >= 2
+
+
+def test_make_fused_accepts_sustainability():
+    from ai_safety_gridworlds_tpu import ops as ops_pkg
+
     env = AIntelopeSavanna(sustainability_challenge=True)
-    with pytest.raises(NotImplementedError):
-        FusedSavanna(env)
+    fused = ops_pkg.make_fused(env)
+    assert isinstance(fused, FusedSavanna) and fused.sustain
