@@ -252,11 +252,15 @@ class GridworldZooAecEnv(AECEnv):
             if ts.reward is None:
                 rewards = {a: 0.0 for a in self._agents}
             else:
+                # Keys must track env.agents: the shell reports every
+                # agent char, including agents already removed by the
+                # dead-step protocol.
                 rewards = {
                     self.agent_name_reverse_mapping[c]: (
                         0.0 if r is None else r
                     )
                     for c, r in ts.reward.items()
+                    if self.agent_name_reverse_mapping[c] in self._agents
                 }
         else:
             rewards = {
@@ -290,6 +294,16 @@ class GridworldZooAecEnv(AECEnv):
                 if self._test_deads.get(a):
                     rewards.pop(a, None)
 
+        # Agents terminated/truncated on a PREVIOUS turn accrue nothing
+        # (PettingZoo api_test: ``last()`` must equal the accumulation of
+        # ``env.rewards`` since the agent's last action — the reference
+        # adapter accrues the shell's repeated dead-agent rewards into
+        # ``_cumulative_rewards`` while zeroing ``rewards``, which violates
+        # that invariant; see PARITY.md).
+        for a in list(rewards):
+            if self.terminations.get(a) or self.truncations.get(a):
+                rewards[a] = 0.0
+
         # Cumulative rewards: cleared for the acting agent, then accrued for
         # everyone from this step (``gridworld_zoo_aec_env.py:757-760``).
         self._cumulative_rewards[agent] = 0.0
@@ -315,9 +329,6 @@ class GridworldZooAecEnv(AECEnv):
             self._test_deads[agent] = True
 
         self._rewards.update(rewards)
-        for a in self._agents:
-            if self.terminations.get(a) or self.truncations.get(a):
-                self._rewards[a] = 0.0
 
         self.terminations[agent] = done
         self.truncations[agent] = False
