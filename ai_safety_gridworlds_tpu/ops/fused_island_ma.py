@@ -205,13 +205,23 @@ class FusedIslandMa(FusedMaBase):
         )
         return code + 16.0 * dist.astype(np.float32)
 
-    def init_packed(self, seed: int, batch: int) -> dict:
+    def init_packed(self, seed: int, batch: int, layout_pool: int = 1) -> dict:
         """Pack a batch into the [rows, B] layout. With map randomization
         enabled, one independent layout is drawn per lane on the host (the
         same interior shuffle as ``host_reset_options_with_generator``);
-        in-kernel auto-reset restores each lane's OWN initial map."""
+        in-kernel auto-reset restores each lane's OWN initial map.
+        ``layout_pool=K > 1`` draws K independent layouts per lane and the
+        auto-reset cycles them per episode (``ep_idx % K``) — approximating
+        fresh-map-per-episode semantics (see ``fused_savanna.init_packed``)."""
         env = self.env
         n, HW = self.n, self.HW
+        K = int(layout_pool)
+        if K < 1:
+            raise ValueError("layout_pool must be >= 1")
+        if K > 1 and not env.cfg["map_randomization_frequency"] >= 1:
+            raise ValueError(
+                "layout_pool > 1 requires map_randomization_frequency >= 1"
+            )
         keys = prng.derive_keys(seed, batch)
         from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
             AGENT_CHRS, GAME_ART, GAP_CHR,
@@ -222,13 +232,16 @@ class FusedIslandMa(FusedMaBase):
 
         cfg = env.cfg
         base = np.asarray(env._orig_board, np.uint8)
-        if cfg["map_randomization_frequency"] >= 1:
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0x15A17D))
+
+        def draw_boards():
+            if not cfg["map_randomization_frequency"] >= 1:
+                return np.tile(base.reshape(-1, 1), (1, 1))  # [HW, 1]
             counts = {c: 1 for c in env.agent_chars}
             for c in AGENT_CHRS[env.n_agents :]:
                 if any(c in row for row in GAME_ART[env.level]):
                     counts[c] = 0
-            rng = np.random.Generator(np.random.PCG64(seed ^ 0x15A17D))
-            boards = np.stack(
+            return np.stack(
                 [
                     randomize_map(
                         base, rng,
@@ -246,29 +259,42 @@ class FusedIslandMa(FusedMaBase):
                 ],
                 axis=1,
             )  # [HW, B]
-        else:
-            boards = np.tile(base.reshape(-1, 1), (1, 1))  # [HW, 1]
 
         from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
             WALL_CHR,
         )
 
-        wall = (boards == ord(WALL_CHR)).astype(np.float32)
-        sboard = self._code_and_dist(boards)
-        bl = boards.shape[1]
-        pos0 = np.zeros((n, bl), np.int32)
-        for i, c in enumerate(env.agent_chars):
-            pos0[i] = np.argmax(boards == ord(c), axis=0)
-        # Cached tile value at each agent's start cell. Start cells hold the
-        # agent char itself -> code 0 (gap), but the distance part matters.
-        vcode0 = np.take_along_axis(sboard, pos0, axis=0).astype(np.float32)
+        def layout_statics(boards):
+            wall = (boards == ord(WALL_CHR)).astype(np.float32)
+            sboard = self._code_and_dist(boards)
+            bl = boards.shape[1]
+            pos0 = np.zeros((n, bl), np.int32)
+            for i, c in enumerate(env.agent_chars):
+                pos0[i] = np.argmax(boards == ord(c), axis=0)
+            # Cached tile value at each agent's start cell. Start cells
+            # hold the agent char itself -> code 0 (gap), but the distance
+            # part matters.
+            vcode0 = np.take_along_axis(sboard, pos0, axis=0).astype(
+                np.float32
+            )
+            return {
+                "wall": wall, "sboard": sboard, "pos0": pos0,
+                "vcode0": vcode0,
+            }
 
-        kstatics = {
-            "wall": wall, "sboard": sboard, "pos0": pos0, "vcode0": vcode0,
-        }
+        pool_boards = [draw_boards() for _ in range(K)]
+        pools = [layout_statics(b) for b in pool_boards]
+        kstatics = dict(pools[0])
+        for k in range(1, K):
+            for key_, v in pools[k].items():
+                kstatics[key_ + f"_p{k}"] = v
+        self.layout_pool = K
         self._kstatics_np = kstatics
         self._invalidate_device_cache()
-        self._boards_np = boards
+        self._boards_np = pool_boards[0]
+        self._boards_np_pool = pool_boards
+        boards = pool_boards[0]
+        pos0, vcode0 = pools[0]["pos0"], pools[0]["vcode0"]
 
         def tile_b(arr):
             return (
@@ -309,6 +335,11 @@ class FusedIslandMa(FusedMaBase):
             "stats_rewards": jnp.zeros((n * self.D, batch), _F32),
             "stats_episodes": jnp.zeros((1, batch), _I32),
         }
+        fields = tuple(f for f in self.STATE_FIELDS if f != "ep_idx")
+        if K > 1:
+            state["ep_idx"] = jnp.zeros((1, batch), _I32)
+            fields = fields + ("ep_idx",)
+        self.STATE_FIELDS = fields
         return state
 
     STATE_FIELDS = (
@@ -347,16 +378,34 @@ class FusedIslandMa(FusedMaBase):
         iota_n = jax.lax.broadcasted_iota(_I32, (n, 1), 0)
         iota_hw = jax.lax.broadcasted_iota(_I32, (HW, 1), 0)
 
-        wall_f = statics["wall"]
-        sboard = statics["sboard"]
-        pos0 = statics["pos0"].astype(_I32)
-        vcode0 = statics["vcode0"]
-
         # ---- auto-reset lanes whose episode ended last step ----------------
         types = S["step_types"]
         over = jnp.all(
             (types == LAST) | (types == DEAD), axis=0, keepdims=True
         )
+
+        # Layout pool: per-episode layout via a K-way select (ep_idx % K);
+        # K == 1 reads the statics directly (no overhead).
+        K = getattr(self, "layout_pool", 1)
+        ep_idx = None
+        if K > 1:
+            ep_idx = jnp.where(over, S["ep_idx"] + 1, S["ep_idx"])
+            li = jnp.mod(ep_idx, K)
+
+            def pooled(base_key):
+                v = statics[base_key]
+                for k in range(1, K):
+                    v = jnp.where(li == k, statics[f"{base_key}_p{k}"], v)
+                return v
+        else:
+            def pooled(base_key):
+                return statics[base_key]
+
+        wall_f = pooled("wall")
+        sboard = pooled("sboard")
+        pos0 = pooled("pos0").astype(_I32)
+        vcode0 = pooled("vcode0")
+
         pos = jnp.where(over, pos0, S["pos"])
         vcode = jnp.where(over, vcode0, S["vcode"])
         reasons = jnp.where(over, NONE, S["reasons"])
@@ -730,6 +779,8 @@ class FusedIslandMa(FusedMaBase):
             "stats_rewards": S["stats_rewards"] + rewards,
             "stats_episodes": S["stats_episodes"] + done.astype(_I32),
         }
+        if ep_idx is not None:
+            out["ep_idx"] = ep_idx
         if collect_draws:
             return out, {
                 "order": order,

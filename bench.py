@@ -43,6 +43,16 @@ import time
 
 import jax
 
+# Persistent compilation cache: compiles dominate bench wall time and the
+# kernels are identical across runs.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/ai_safety_gridworlds_tpu_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # pragma: no cover - older jax without the cache keys
+    pass
+
 BATCH = 4096
 N_REPS = 5
 MIN_REP_WALL_S = 0.4
@@ -55,6 +65,7 @@ REFERENCE_STEPS_PER_SEC = {
     "firemaker_ex_ma": 607.0,
     "firemaker_ex_ma_dirmode1_generic": 607.0,
     "aintelope_savanna": 1.251e3,
+    "aintelope_savanna_sustain": 1.251e3,
     "island_navigation_ex_ma": 964.0,
 }
 
@@ -83,13 +94,13 @@ def bench_scalar(env, n_steps=4096, n_reps=N_REPS):
     return _spread(out["rep_steps_per_sec"])
 
 
-def bench_fused(fused, n_steps=256, n_reps=N_REPS):
+def bench_fused(fused, n_steps=256, n_reps=N_REPS, tile=None):
     S = fused.init_packed(seed=0, batch=BATCH)
-    S = fused.rollout(S, n_steps)  # compile + warm-up
+    S = fused.rollout(S, n_steps, tile=tile)  # compile + warm-up
     jax.block_until_ready(S["t"])
 
     t0 = time.perf_counter()
-    S = fused.rollout(S, n_steps)  # calibrate chunks per rep
+    S = fused.rollout(S, n_steps, tile=tile)  # calibrate chunks per rep
     jax.block_until_ready(S["t"])
     chunk_wall = max(time.perf_counter() - t0, 1e-9)
     chunks = max(1, int(MIN_REP_WALL_S / chunk_wall) + 1)
@@ -98,7 +109,7 @@ def bench_fused(fused, n_steps=256, n_reps=N_REPS):
     for _ in range(n_reps):
         t0 = time.perf_counter()
         for _ in range(chunks):
-            S = fused.rollout(S, n_steps)
+            S = fused.rollout(S, n_steps, tile=tile)
         jax.block_until_ready(S["t"])
         rates.append(chunks * n_steps * BATCH / (time.perf_counter() - t0))
     return _spread(rates)
@@ -221,6 +232,17 @@ def main():
         bench_fused(FusedSavanna(AIntelopeSavanna())),
         extra={"kernel": "fused_pallas"},
     )
+    # Sustainability challenge: dynamic in-kernel resource curtains
+    # (previously a generic-path fallback; now fused).
+    record(
+        "aintelope_savanna_sustain",
+        bench_fused(
+            FusedSavanna(AIntelopeSavanna(sustainability_challenge=True)),
+            tile=128,
+        ),
+        extra={"kernel": "fused_pallas"},
+    )
+
     record(
         "island_navigation_ex_ma",
         bench_fused(FusedIslandMa(IslandNavigationExMa())),

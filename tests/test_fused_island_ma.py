@@ -165,3 +165,32 @@ def test_per_lane_maps_differ_with_randomization():
     for lane in (0, 7):
         b = fused.board_for_lane(lane)
         assert (b[0, :] == fused.board_for_lane(0)[0, :]).all()
+
+
+def test_layout_pool_cycles_per_episode():
+    """K pooled layouts cycled by the in-kernel reset (``ep_idx % K``),
+    XLA/pallas bit-identical (mirrors the savanna pool tests)."""
+    env = IslandNavigationExMa(
+        map_randomization_frequency=3, max_iterations=6
+    )
+    fused = FusedIslandMa(env)
+    K = 3
+    S0 = fused.init_packed(seed=31, batch=32, layout_pool=K)
+    pools = fused._kstatics_np
+    assert not np.array_equal(pools["sboard"], pools["sboard_p1"])
+    Sx = fused.rollout(dict(S0), 30, backend="xla")
+    Sp = fused.rollout(
+        dict(S0), 30, backend="pallas", tile=16, interpret=True
+    )
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    assert np.asarray(Sx["ep_idx"]).max() >= K
+    # After a reset into layout k, dead lanes' positions come from that
+    # layout's pos0: replay one more step and check reset lanes directly.
+    S2 = fused.step_xla(Sx)
+    over = np.all(
+        np.isin(np.asarray(Sx["step_types"]), (2, 3)), axis=0
+    )
+    assert over.any(), "need at least one resetting lane"
