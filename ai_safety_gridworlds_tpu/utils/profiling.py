@@ -17,8 +17,9 @@ The optimization lever is kernel COUNT, not FLOPs: prefer select over
 scatter, and ultimately fuse whole sub-steps with pallas — which
 ``ops/fused_firemaker.py`` / ``ops/fused_savanna.py`` /
 ``ops/fused_island_ma.py`` now do (whole rollout chunks in ONE kernel:
-~20M, ~65-75M, ~75-85M env-steps/s respectively at batch 4096 — a
-25-100x lift over the generic vmapped path; see ``docs/KERNELS.md``).
+~25M, ~195M, ~234M env-steps/s respectively at batch 4096 with
+dispatch-amortized calibrated reps — a 25-250x lift over the generic
+vmapped path; see ``docs/KERNELS.md``).
 A second measured lever on the remote-TPU (axon) stack: host->device
 transfers per rollout call — re-uploading [cells, batch] static boards
 each call cost savanna ~4x (fix: memoized device uploads,
