@@ -90,7 +90,10 @@ def _table_sel(table_2d, action_ids, dir_ids):
 class FusedIslandMa(FusedMaBase):
     """Packed batched island_navigation_ex_ma with a single-kernel step."""
 
-    DEFAULT_TILE = 1024  # tiny per-lane VMEM footprint -> wide tiles win
+    # r3 tile sweep with dispatch-amortized timing: 256 -> 258M, 512 ->
+    # 250M, 1024 -> 224M, 2048 -> 175M steps/s (the old 1024 optimum was
+    # picked under per-call dispatch noise).
+    DEFAULT_TILE = 256  # tiny per-lane VMEM footprint -> wide tiles win
     # In-kernel linear-policy features per agent (``set_policies``):
     # normalized row/col, drink/food satiation, drink/food availability,
     # action-direction one-hot.

@@ -88,7 +88,9 @@ def _lut_select(table_1d, idx, lo, hi):
 class FusedSavanna(FusedMaBase):
     """Packed batched aintelope_savanna with a single-kernel step/rollout."""
 
-    DEFAULT_TILE = 256
+    # r3 tile sweep with dispatch-amortized timing: 512 -> ~259M beats
+    # 256 (~130-208M) and 1024 (~249M) consistently across runs.
+    DEFAULT_TILE = 512
     # In-kernel linear-policy features per agent (``set_policies``):
     # normalized row/col, drink/food satiation, water/predator safety
     # distances, observation-direction one-hot.
