@@ -33,8 +33,12 @@ Semantics mirror ``envs/firemaker_ex_ma.py::FiremakerExMa.engine_substep``
 (itself lockstep-tested against
 ``/root/reference/ai_safety_gridworlds/environments/firemaker_ex_ma.py``);
 the equivalence test injects this kernel's draws into the per-env sub-step.
-Only the default direction modes (0: fixed) are supported fused; other
-modes fall back to the generic path.
+All valid direction-mode combinations are supported fused: relative
+action/observation modes (1: relative-to-move, 2: relative-with-turns)
+add per-agent facing rows and resolve moves through the same
+``MODE_DIR_TABLES`` select chains as the island/savanna kernels
+(``core/actions.py``; invalid odm=2+adm=0 rejected like the per-env
+path).
 """
 
 from __future__ import annotations
@@ -43,10 +47,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ai_safety_gridworlds_tpu.core.actions import ActionsMo
+from ai_safety_gridworlds_tpu.core.actions import (
+    DIR_TO_ACTION_MO,
+    MODE_DIR_TABLES,
+    ActionsMo,
+    Directions,
+)
 from ai_safety_gridworlds_tpu.core.timestep import StepType, TerminationReason
 from ai_safety_gridworlds_tpu.ops import prng
 from ai_safety_gridworlds_tpu.ops.fused_base import FusedMaBase
+from ai_safety_gridworlds_tpu.ops.fused_island_ma import _table_sel
 
 _I32 = jnp.int32
 _F32 = jnp.float32
@@ -72,9 +82,13 @@ class FusedFiremaker(FusedMaBase):
     POLICY_FEATURES = 6
 
     def __init__(self, env):
-        if env.action_direction_mode != 0 or env.observation_direction_mode != 0:
+        self.adm = int(env.action_direction_mode)
+        self.odm = int(env.observation_direction_mode)
+        if self.odm == 2 and self.adm == 0:
+            # Match the per-env path (``core/actions.py:217-219``), which
+            # rejects this combination.
             raise NotImplementedError(
-                "fused firemaker supports the default fixed direction modes"
+                "observation mode 2 with fixed action mode"
             )
         self.env = env
         self.n = env.n_agents
@@ -193,7 +207,7 @@ class FusedFiremaker(FusedMaBase):
     def init_packed(self, seed: int, batch: int) -> dict:
         n, HW = self.n, self.HW
         keys = prng.derive_keys(seed, batch)
-        return {
+        state = {
             "fire": jnp.zeros((HW, batch), _F32),
             "pos": jnp.tile(jnp.asarray(self.start_pos_flat), (1, batch)),
             "reasons": jnp.full((n, batch), NONE, _I32),
@@ -208,6 +222,21 @@ class FusedFiremaker(FusedMaBase):
             "stats_rewards": jnp.zeros((n * self.D, batch), _F32),
             "stats_episodes": jnp.zeros((1, batch), _I32),
         }
+        fields = tuple(
+            f for f in self.STATE_FIELDS
+            if f not in ("act_dir", "obs_dir")
+        )
+        if self.adm != 0 or self.odm != 0:
+            # Relative direction modes carry per-agent facings.
+            state["act_dir"] = jnp.full(
+                (n, batch), int(Directions.UP), _I32
+            )
+            state["obs_dir"] = jnp.full(
+                (n, batch), int(Directions.UP), _I32
+            )
+            fields = fields + ("act_dir", "obs_dir")
+        self.STATE_FIELDS = fields
+        return state
 
     STATE_FIELDS = (
         "fire", "pos", "reasons", "step_types", "countdown", "ext_fires",
@@ -268,6 +297,10 @@ class FusedFiremaker(FusedMaBase):
         visits = jnp.where(over, 0, S["visits"])
         at_work = jnp.where(over, 0.0, S["at_workshop"])
         t = jnp.where(over, 0, S["t"])
+        has_dirs = self.adm != 0 or self.odm != 0
+        if has_dirs:
+            act_dir = jnp.where(over, int(Directions.UP), S["act_dir"])
+            obs_dir = jnp.where(over, int(Directions.UP), S["obs_dir"])
 
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         feats = None
@@ -302,15 +335,53 @@ class FusedFiremaker(FusedMaBase):
             active = acting & ~is_quit & ~dead_i
             t = t + acting.astype(_I32)
 
-            # --- move (mode 0: absolute actions) --------------------------
+            # --- direction modalities (``engine_substep``; observation
+            # facing updates BEFORE the move, action facing AFTER,
+            # ``safety_game_ma.py:650-766,808``) --------------------------
+            is_move = (a >= 1) & (a <= 4)
+            if has_dirs:
+                a_cl = jnp.clip(a, 0, 9)
+                dir_i = jnp.sum(
+                    jnp.where(sel, act_dir, 0), axis=0, keepdims=True
+                )
+                odir_i = jnp.sum(
+                    jnp.where(sel, obs_dir, 0), axis=0, keepdims=True
+                )
+                if self.odm != 0:
+                    if self.odm == 1:
+                        otab = MODE_DIR_TABLES[
+                            1 if self.adm in (1, 2) else 0
+                        ]
+                    else:
+                        otab = MODE_DIR_TABLES[2]
+                    new_odir = _table_sel(otab, a_cl, odir_i)
+                    obs_dir = jnp.where(sel & active, new_odir, obs_dir)
+                if self.adm == 0:
+                    abs_action = a
+                else:
+                    rel = _table_sel(MODE_DIR_TABLES[1], a_cl, dir_i)
+                    abs_move = jnp.zeros_like(rel) + int(DIR_TO_ACTION_MO[0])
+                    for d in range(1, 4):
+                        abs_move = jnp.where(
+                            rel == d, int(DIR_TO_ACTION_MO[d]), abs_move
+                        )
+                    abs_action = jnp.where(is_move, abs_move, a)
+                    new_adir = _table_sel(
+                        MODE_DIR_TABLES[self.adm], a_cl, dir_i
+                    )
+                    act_dir = jnp.where(sel & active, new_adir, act_dir)
+            else:
+                abs_action = a
+
+            # --- move ------------------------------------------------------
             pos_i = jnp.sum(
                 jnp.where(sel, pos, 0), axis=0, keepdims=True
             )
             delta = (
-                (a == int(ActionsMo.LEFT)) * (-1)
-                + (a == int(ActionsMo.RIGHT)) * 1
-                + (a == int(ActionsMo.UP)) * (-W)
-                + (a == int(ActionsMo.DOWN)) * W
+                (abs_action == int(ActionsMo.LEFT)) * (-1)
+                + (abs_action == int(ActionsMo.RIGHT)) * 1
+                + (abs_action == int(ActionsMo.UP)) * (-W)
+                + (abs_action == int(ActionsMo.DOWN)) * W
             ).astype(_I32)
             cand = pos_i + delta
             cand_oh = iota_hw == cand
@@ -318,7 +389,6 @@ class FusedFiremaker(FusedMaBase):
             wall_at = (
                 jnp.sum(cand_oh * wall_f, axis=0, keepdims=True) > 0.5
             )
-            is_move = (a >= 1) & (a <= 4)
             moved = active & is_move & ~wall_at & ~occ
             new_pos_i = jnp.where(moved, cand, pos_i)
             pos = jnp.where(sel, new_pos_i, pos)
@@ -543,6 +613,9 @@ class FusedFiremaker(FusedMaBase):
             "stats_rewards": S["stats_rewards"] + rewards,
             "stats_episodes": S["stats_episodes"] + done.astype(_I32),
         }
+        if has_dirs:
+            out["act_dir"] = act_dir
+            out["obs_dir"] = obs_dir
         if collect_draws:
             return out, {
                 "order": order,
@@ -582,8 +655,16 @@ class FusedFiremaker(FusedMaBase):
             termination_reasons=jnp.asarray(
                 np.asarray(S["reasons"][:, lane])
             ),
-            action_direction=jnp.full((n,), int(Directions.UP), _I32),
-            observation_direction=jnp.full((n,), int(Directions.UP), _I32),
+            action_direction=(
+                jnp.asarray(np.asarray(S["act_dir"][:, lane]), _I32)
+                if "act_dir" in S
+                else jnp.full((n,), int(Directions.UP), _I32)
+            ),
+            observation_direction=(
+                jnp.asarray(np.asarray(S["obs_dir"][:, lane]), _I32)
+                if "obs_dir" in S
+                else jnp.full((n,), int(Directions.UP), _I32)
+            ),
             fire=jnp.asarray(
                 np.asarray(S["fire"][:, lane]).reshape(h, w) > 0.5
             ),

@@ -58,7 +58,8 @@ REFERENCE_STEPS_PER_SEC = {
     "island_navigation_ex": 1.376e3,
     "island_navigation_ex_full": 1.376e3,
     "firemaker_ex_ma": 607.0,
-    "firemaker_ex_ma_dirmode1_generic": 607.0,
+    "firemaker_ex_ma_dirmode1": 607.0,
+    "firemaker_ex_ma_generic": 607.0,
     "aintelope_savanna": 1.251e3,
     "aintelope_savanna_sustain": 1.251e3,
     "island_navigation_ex_ma": 964.0,
@@ -249,16 +250,26 @@ def _worker():
         extra={"kernel": "fused_pallas"},
     )
 
-    # Non-default MA config: the fused kernel rejects
-    # action_direction_mode=1, so this measures the generic vmapped
-    # fallback cost that real users of that flag pay.
+    # Non-default MA config: relative direction mode 1 (previously a
+    # generic-path fallback; the fused kernel now covers all valid
+    # direction-mode combinations).
     from ai_safety_gridworlds_tpu import ops as ops_pkg
 
     dirmode_game = FiremakerExMa(action_direction_mode=1)
-    assert ops_pkg.make_fused(dirmode_game) is None
+    dirmode_fused = ops_pkg.make_fused(dirmode_game)
+    assert isinstance(dirmode_fused, FusedFiremaker)
     emit(
-        "firemaker_ex_ma_dirmode1_generic",
-        bench_generic_ma(dirmode_game),
+        "firemaker_ex_ma_dirmode1",
+        bench_fused(dirmode_fused, tile=128),
+        extra={"kernel": "fused_pallas"},
+    )
+
+    # The generic vmapped path on the default firemaker config: keeps the
+    # fused-vs-generic gap visible in every run (no real config falls
+    # back to it anymore).
+    emit(
+        "firemaker_ex_ma_generic",
+        bench_generic_ma(FiremakerExMa()),
         extra={"kernel": "generic_vmap", "batch": 1024},
     )
 

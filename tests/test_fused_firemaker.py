@@ -180,7 +180,82 @@ def test_auto_reset_counts_episodes():
     assert (t <= 9 + 1).all()
 
 
-def test_fused_requires_default_direction_modes():
-    env = FiremakerExMa(action_direction_mode=1)
+@pytest.mark.parametrize("adm,odm", [(1, 0), (1, 1), (2, 2)])
+def test_fused_direction_modes_match_per_env(adm, odm):
+    """Relative action/observation direction modes: the fused kernel's
+    facings, moves, and step outputs stay in lockstep with the per-env
+    chain (which is itself lockstep-tested against the reference)."""
+    env = FiremakerExMa(
+        action_direction_mode=adm, observation_direction_mode=odm
+    )
+    fused = FusedFiremaker(env)
+    B = 8
+    S = fused.init_packed(seed=17 + adm * 3 + odm, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    h, w, n = fused.h, fused.w, fused.n
+    for step in range(10):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                opts = {
+                    k: jnp.asarray(
+                        np.asarray(dbg["slots"][slot][k])[:, b].reshape(h, w)
+                    )
+                    for k in ("spread_cells", "spread_set", "cont_keep")
+                }
+                state_b, _ = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), opts, slot
+                )
+            state_b, _ = jax.jit(env.finalize_step)(
+                state_b, env.zero_rewards()
+            )
+            ref_state = fused.unpack_lane(S2, b)
+            for field in (
+                "t", "pos", "step_types", "termination_reasons", "fire",
+                "action_direction", "observation_direction",
+                "countdown", "ext_fires", "is_at_workshop", "visits",
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(state_b, field)),
+                    np.asarray(getattr(ref_state, field)),
+                    err_msg=f"step {step} lane {b} field {field} "
+                            f"(adm={adm} odm={odm})",
+                )
+        S = S2
+
+
+def test_fused_direction_modes_bit_identity_and_fallback_gone():
+    from ai_safety_gridworlds_tpu import ops as ops_pkg
+
+    env = FiremakerExMa(
+        action_direction_mode=2, observation_direction_mode=2
+    )
+    fused = ops_pkg.make_fused(env)
+    assert isinstance(fused, FusedFiremaker)
+    S0 = fused.init_packed(seed=23, batch=64)
+    Sx = fused.rollout(dict(S0), 20, backend="xla")
+    Sp = fused.rollout(
+        dict(S0), 20, backend="pallas", tile=32, interpret=True
+    )
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    # Turn actions actually changed some facings.
+    assert (np.asarray(Sx["act_dir"]) != 0).any()
+    # The invalid mode combination still raises (matches the per-env path).
     with pytest.raises(NotImplementedError):
-        FusedFiremaker(env)
+        FusedFiremaker(
+            FiremakerExMa(
+                action_direction_mode=0, observation_direction_mode=2
+            )
+        )
