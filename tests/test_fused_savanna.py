@@ -330,3 +330,21 @@ def test_make_fused_accepts_sustainability():
     env = AIntelopeSavanna(sustainability_challenge=True)
     fused = ops_pkg.make_fused(env)
     assert isinstance(fused, FusedSavanna) and fused.sustain
+
+
+def test_sustainability_with_layout_pool_bit_identity():
+    """Sustainability + layout pool compose: pooled res0_*/usable_half
+    statics select per episode and the dynamic drape phase stays
+    XLA/pallas bit-identical."""
+    env = AIntelopeSavanna(**dict(SUSTAIN_KW, max_iterations=6))
+    fused = FusedSavanna(env)
+    S0 = fused.init_packed(seed=37, batch=32, layout_pool=2)
+    Sx = fused.rollout(dict(S0), 16, backend="xla")
+    Sp = fused.rollout(
+        dict(S0), 16, backend="pallas", tile=16, interpret=True
+    )
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    assert np.asarray(Sx["ep_idx"]).max() >= 1
