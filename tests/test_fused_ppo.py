@@ -17,6 +17,7 @@ pin it three ways:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ai_safety_gridworlds_tpu.core.timestep import StepType
 from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
@@ -195,3 +196,60 @@ def test_ppo_train_step_pallas_backend():
     state, metrics = train_step(state)
     assert int(state.update_idx) == 1
     assert np.isfinite(np.asarray(metrics["mean_reward"]))
+
+
+@pytest.mark.parametrize("kernel", ["savanna", "firemaker"])
+def test_ppo_train_step_other_kernels(kernel):
+    """The fused-PPO update runs (and learns finite updates) on the other
+    two kernels' collection paths too, XLA and pallas bit-identically."""
+    if kernel == "savanna":
+        from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+            AIntelopeSavanna,
+        )
+        from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
+
+        fused = FusedSavanna(AIntelopeSavanna(max_iterations=6))
+    else:
+        from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import (
+            FiremakerExMa,
+        )
+        from ai_safety_gridworlds_tpu.ops.fused_firemaker import (
+            FusedFiremaker,
+        )
+
+        fused = FusedFiremaker(FiremakerExMa(max_iterations=6))
+
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=5, n_epochs=1, n_minibatches=2, hidden=16
+    )
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(2), batch_size=16, config=config
+    )
+    S, traj_x, boot_x = fused.rollout_collect(
+        dict(state.S), state.params, 5, backend="xla"
+    )
+    _, traj_p, boot_p = fused.rollout_collect(
+        dict(state.S), state.params, 5, backend="pallas", tile=8,
+        interpret=True,
+    )
+    for k in traj_x:
+        # Ints exact; the MLP float fields may differ by ~1 ULP between
+        # the scan and interpreted-kernel matmul fusions.
+        np.testing.assert_allclose(
+            np.asarray(traj_x[k]), np.asarray(traj_p[k]),
+            rtol=0, atol=1e-6, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(boot_x), np.asarray(boot_p), rtol=0, atol=1e-6
+    )
+
+    train_step = ppo_fused.make_train_step(
+        fused, config=config, backend="xla"
+    )
+    state2, metrics = train_step(state)
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert not np.array_equal(
+        np.asarray(state2.params["mlp_w1"]),
+        np.asarray(state.params["mlp_w1"]),
+    )
