@@ -359,7 +359,20 @@ def main():
 
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
-    buf = ""
+
+    def consume(raw):
+        raw = raw.strip()
+        if not raw:
+            return
+        try:
+            line = json.loads(raw)
+        except json.JSONDecodeError:
+            print(raw, file=sys.stderr, flush=True)
+            return
+        print(raw, flush=True)
+        lines.append(line)
+
+    killed = False
     while True:
         budget = deadline - time.time()
         if budget <= 0:
@@ -370,6 +383,7 @@ def main():
                 file=sys.stderr, flush=True,
             )
             os.killpg(proc.pid, signal.SIGKILL)
+            killed = True
             break
         if not sel.select(timeout=min(budget, 30)):
             continue
@@ -378,16 +392,16 @@ def main():
             if proc.poll() is not None:
                 break
             continue
-        buf = chunk.strip()
-        if not buf:
-            continue
+        consume(chunk)
+    if killed:
+        # Drain anything still sitting in the pipe/text buffer (readline
+        # via selectors can leave whole lines buffered); the child is
+        # dead, so read() terminates at EOF.
         try:
-            line = json.loads(buf)
-        except json.JSONDecodeError:
-            print(buf, file=sys.stderr, flush=True)
-            continue
-        print(buf, flush=True)
-        lines.append(line)
+            for raw in proc.stdout.read().splitlines():
+                consume(raw)
+        except Exception:
+            pass
 
     results = {
         line["metric"].split("env_steps_per_sec_")[1].rsplit("_b", 1)[0]:
