@@ -124,6 +124,7 @@ def feature_array(layers: dict, chars, shape=None, permute=None):
       RuntimeError: none of ``chars`` is present in ``layers`` (mirrors
         the reference's misconfiguration guard, ``rendering.py:640-647``).
     """
+    chars = list(chars)  # may be a one-shot iterable; we scan it thrice
     if permute is not None and sorted(permute) != [0, 1, 2]:
         raise ValueError(
             "permute must be a list or tuple containing some permutation "

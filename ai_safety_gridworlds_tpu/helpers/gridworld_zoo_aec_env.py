@@ -299,8 +299,11 @@ class GridworldZooAecEnv(AECEnv):
         # ``env.rewards`` since the agent's last action — the reference
         # adapter accrues the shell's repeated dead-agent rewards into
         # ``_cumulative_rewards`` while zeroing ``rewards``, which violates
-        # that invariant; see PARITY.md).
-        for a in list(rewards):
+        # that invariant; see PARITY.md). Iterate live agents, not the
+        # rewards keys: test_death pops its dead agents from ``rewards``
+        # above, and they must read 0.0 (not a stale value) in
+        # ``env.rewards`` until their dead step removes them.
+        for a in self._agents:
             if self.terminations.get(a) or self.truncations.get(a):
                 rewards[a] = 0.0
 

@@ -281,7 +281,12 @@ def _update_from_traj(fused, traj, boot, params, opt_state, opt, dims,
     metrics = jax.tree.map(
         lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics
     )
-    metrics["episodes"] = (1.0 - cont).sum()
+    # One episode ends per step where ALL of a lane's agents read
+    # done — an agent DEAD mid-episode re-emits done=1 every later step,
+    # so per-agent sums would overcount (and count each episode n times).
+    metrics["episodes"] = jnp.all(traj["done"] > 0, axis=1).sum().astype(
+        jnp.float32
+    )
     metrics["mean_reward"] = (
         traj["reward"] * valid
     ).sum() / jnp.maximum(valid.sum(), 1.0)

@@ -397,7 +397,11 @@ class FusedMaBase:
         assert B % tile == 0, "batch must be a multiple of the lane tile"
         grid = B // tile
         const_names = sorted(self.consts)
-        static_names = sorted(self._all_statics_np())
+        # Derive the kernel inputs from the statics actually passed (the
+        # caller may override with extra keys, e.g. mlp_* policy params —
+        # the XLA path sees them via `'mlp_w1' in statics`, so the pallas
+        # kernel must too).
+        static_names = sorted(statics)
         state_names = list(self.STATE_FIELDS)
 
         def kernel(*refs):
@@ -430,7 +434,12 @@ class FusedMaBase:
 
         const_vals = [jnp.asarray(self.consts[k]) for k in const_names]
         static_vals = [statics[k] for k in static_names]
-        static_batched = [v.shape[1] != 1 for v in static_vals]
+        # Kernel statics are [rows, B] (batched) or [rows, 1] (shared);
+        # MLP params are full 2-D blocks every tile reads whole.
+        static_batched = [
+            (not k.startswith("mlp_")) and v.shape[1] != 1
+            for k, v in zip(static_names, static_vals)
+        ]
         state_vals = [S[k] for k in state_names]
         out_shapes = [
             jax.ShapeDtypeStruct(v.shape, v.dtype) for v in state_vals

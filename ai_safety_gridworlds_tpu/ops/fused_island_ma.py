@@ -803,8 +803,18 @@ class FusedIslandMa(FusedMaBase):
 
     # ---------------------------------------------------------- interop
 
-    def board_for_lane(self, lane: int) -> np.ndarray:
+    def board_for_lane(self, lane: int, S=None) -> np.ndarray:
+        """The lane's CURRENT layout board. With a layout pool, pass the
+        packed state so ``ep_idx`` selects the right pool entry."""
         b = self._boards_np
+        if (
+            getattr(self, "layout_pool", 1) > 1
+            and S is not None
+            and "ep_idx" in S
+        ):
+            b = self._boards_np_pool[
+                int(np.asarray(S["ep_idx"][0, lane])) % self.layout_pool
+            ]
         col = b[:, lane] if b.shape[1] > 1 else b[:, 0]
         return col.reshape(self.h, self.w)
 

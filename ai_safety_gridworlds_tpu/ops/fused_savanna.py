@@ -177,11 +177,35 @@ class FusedSavanna(FusedMaBase):
 
         exp_ = float(cfg["DRINK_REGROWTH_EXPONENT"])
 
-        def k_spawn(growth_limit, cond_limit):
-            """Max per-sub-step avail_int rise over the regrowth map."""
+        # usable//2 regrowth clamp: wall counts are preserved by the
+        # count-enforced shuffle, so this is a per-config constant.
+        from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+            GAP_CHR as _GAP, WALL_CHR as _WALL,
+        )
+
+        base_b = np.asarray(env._base_board, np.uint8).copy()
+        for tile_type, max_count in env.tile_type_counts.items():
+            locs = np.argwhere(base_b == ord(tile_type))
+            for r, c in locs[max_count:]:
+                base_b[r, c] = ord(_GAP)
+        usable_half_c = float(
+            (base_b.size - int((base_b == ord(_WALL)).sum())) // 2
+        )
+
+        def k_bounds(growth_limit, cond_limit, rate):
+            """Static unroll bounds: max per-sub-step avail_int rise
+            (spawn) and FALL (removal) over the regrowth map — with
+            exponents < 1 or a binding usable//2 clamp the regrowth
+            itself can LOWER availability by several tiles, on top of
+            the extraction-rate drop."""
             af = np.linspace(1.0, float(cond_limit), 4096, endpoint=False)
             grown = np.minimum(float(growth_limit), (af + 1.0) ** exp_)
-            return max(1, int(np.max(np.ceil(grown) - np.ceil(af))))
+            grown = np.minimum(grown, usable_half_c)
+            rise = int(np.max(np.ceil(grown) - np.ceil(af)))
+            fall = int(np.max(np.ceil(af) - np.ceil(grown)))
+            k_spawn = max(1, rise) + 1
+            k_rem = max(int(np.ceil(rate)), fall, 1) + 1
+            return k_rem, k_spawn
 
         self.res_specs = []
         for name, enabled, rate, use_metric, glk, cond in (
@@ -204,6 +228,7 @@ class FusedSavanna(FusedMaBase):
         ):
             if not enabled:
                 continue
+            k_rem, k_spawn = k_bounds(cfg[glk], cond, rate)
             self.res_specs.append({
                 "name": name,
                 "rate": rate,
@@ -211,8 +236,8 @@ class FusedSavanna(FusedMaBase):
                 "growth_limit": float(cfg[glk]),
                 "cond_limit": cond,
                 "amount": float(self._amount_for(name)),
-                "k_rem": max(1, int(np.ceil(rate))) + 1,
-                "k_spawn": k_spawn(cfg[glk], cond) + 1,
+                "k_rem": k_rem,
+                "k_spawn": k_spawn,
             })
 
         base_fields = FusedSavanna.STATE_FIELDS

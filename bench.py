@@ -134,9 +134,9 @@ def bench_generic_ma(game, batch=1024, n_steps=128, n_reps=3):
     return _spread(rates)
 
 
-def emit(name, spread, extra=None):
+def emit(name, spread, extra=None, batch=BATCH):
     line = {
-        "metric": f"env_steps_per_sec_{name}_b{BATCH}",
+        "metric": f"env_steps_per_sec_{name}_b{batch}",
         "value": spread["value"],
         "unit": "steps/s",
         "vs_baseline": round(
@@ -160,10 +160,14 @@ def _append_history(lines):
         ).stdout.strip()
     except Exception:
         commit = None
+    try:
+        device = str(jax.devices()[0])
+    except Exception as e:  # backend down — keep the history record
+        device = f"unavailable ({type(e).__name__})"
     record = {
         "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "commit": commit or "unknown",
-        "device": str(jax.devices()[0]),
+        "device": device,
         "results": lines,
     }
     try:
@@ -270,7 +274,8 @@ def _worker():
     emit(
         "firemaker_ex_ma_generic",
         bench_generic_ma(FiremakerExMa()),
-        extra={"kernel": "generic_vmap", "batch": 1024},
+        extra={"kernel": "generic_vmap"},
+        batch=1024,
     )
 
     # End-to-end TRAINING throughput: the packed-native fused-PPO update

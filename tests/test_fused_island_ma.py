@@ -187,10 +187,38 @@ def test_layout_pool_cycles_per_episode():
             np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
         )
     assert np.asarray(Sx["ep_idx"]).max() >= K
-    # After a reset into layout k, dead lanes' positions come from that
-    # layout's pos0: replay one more step and check reset lanes directly.
+    # After a reset into layout k, dead lanes restart from THAT layout's
+    # pos0 (then each agent takes one sub-step, moving at most 1 cell).
     S2 = fused.step_xla(Sx)
     over = np.all(
         np.isin(np.asarray(Sx["step_types"]), (2, 3)), axis=0
     )
     assert over.any(), "need at least one resetting lane"
+    w = fused.w
+    pos2 = np.asarray(S2["pos"])
+    ep2 = np.asarray(S2["ep_idx"])[0]
+    pools_pos0 = [pools["pos0"]] + [
+        pools[f"pos0_p{k}"] for k in range(1, K)
+    ]
+
+    def manh(flat_a, flat_b):
+        return abs(flat_a // w - flat_b // w) + abs(
+            flat_a % w - flat_b % w
+        )
+
+    discriminated = False
+    for b in np.nonzero(over)[0]:
+        sel = pools_pos0[ep2[b] % K][:, b]
+        for j in range(fused.n):
+            assert manh(pos2[j, b], sel[j]) <= 1, (
+                f"lane {b} agent {j} not at its layout's start"
+            )
+        for k in range(K):
+            if k == ep2[b] % K:
+                continue
+            other = pools_pos0[k][:, b]
+            if any(
+                manh(other[j], sel[j]) > 2 for j in range(fused.n)
+            ):
+                discriminated = True
+    assert discriminated, "layouts too similar to discriminate"
