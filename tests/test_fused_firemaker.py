@@ -259,3 +259,48 @@ def test_fused_direction_modes_bit_identity_and_fallback_gone():
                 action_direction_mode=0, observation_direction_mode=2
             )
         )
+
+
+def test_fused_direction_mode_rewards_match_per_env():
+    """Reward deltas under turning mode 2 (turn actions pay movement
+    reward like any non-NOOP action — reference quirk) match the per-env
+    chain exactly."""
+    env = FiremakerExMa(
+        action_direction_mode=2, observation_direction_mode=2
+    )
+    fused = FusedFiremaker(env)
+    B = 6
+    S = fused.init_packed(seed=29, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    h, w, n, D = fused.h, fused.w, fused.n, fused.D
+    for step in range(8):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        prev_stats = np.asarray(S["stats_rewards"])
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        fused_step_rewards = np.asarray(S2["stats_rewards"]) - prev_stats
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            total = np.zeros((n, D), np.float32)
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                opts = {
+                    k: jnp.asarray(
+                        np.asarray(dbg["slots"][slot][k])[:, b].reshape(h, w)
+                    )
+                    for k in ("spread_cells", "spread_set", "cont_keep")
+                }
+                state_b, delta = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), opts, slot
+                )
+                total += np.asarray(delta)
+            np.testing.assert_allclose(
+                fused_step_rewards[:, b].reshape(n, D), total,
+                rtol=0, atol=1e-5, err_msg=f"step {step} lane {b}",
+            )
+        S = S2
