@@ -89,6 +89,52 @@ def main():
     jax.block_until_ready(g_ret)
     assert np.isfinite(float(g_ret)) and np.isfinite(float(g_hid))
 
+    # --- fused pallas kernel over the GLOBAL (cross-host) mesh ----------
+    # The production MA composition: pallas_call per device inside
+    # shard_map, lanes split across hosts, stats psum'd over DCN.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+        IslandNavigationExMa,
+    )
+    from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
+    from ai_safety_gridworlds_tpu.parallel.mesh import shard_map
+
+    fused = FusedIslandMa(IslandNavigationExMa(max_iterations=6))
+    S = fused.init_packed(seed=5, batch=global_batch)  # same on all hosts
+    statics = fused._statics_jnp()
+    lane_sh = NamedSharding(mesh, P(None, "data"))
+    repl_sh = NamedSharding(mesh, P())
+
+    def _global(v, sharding):
+        arr = np.asarray(v)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx, a=arr: a[idx]
+        )
+
+    S_sh = {k: _global(v, lane_sh) for k, v in S.items()}
+    statics_sh = {k: _global(v, repl_sh) for k, v in statics.items()}
+
+    def fused_body(S_local, statics_l):
+        out = fused.rollout(
+            S_local, 6, backend="pallas", tile=2, interpret=True,
+            statics=statics_l,
+        )
+        return out, jax.lax.psum(jnp.sum(out["stats_rewards"]), "data")
+
+    out, fused_tot = jax.jit(
+        shard_map(
+            fused_body,
+            mesh=mesh,
+            in_specs=({k: P(None, "data") for k in S},
+                      {k: P() for k in statics}),
+            out_specs=({k: P(None, "data") for k in S}, P()),
+        )
+    )(S_sh, statics_sh)
+    jax.block_until_ready(fused_tot)
+    assert np.isfinite(float(fused_tot))
+    assert int(jnp.max(out["t"].addressable_shards[0].data)) > 0
+
     sink = multihost.ShardedCsvSink(
         out_dir, "rollout", ["episode_return", "hidden_return", "env_t"]
     )
@@ -105,7 +151,7 @@ def main():
     with open(
         os.path.join(out_dir, f"global_host{process_id}.txt"), "w"
     ) as f:
-        f.write(f"{float(g_ret)!r};{float(g_hid)!r}\n")
+        f.write(f"{float(g_ret)!r};{float(g_hid)!r};{float(fused_tot)!r}\n")
     print(f"worker {process_id} ok", flush=True)
 
 
