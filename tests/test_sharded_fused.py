@@ -129,3 +129,44 @@ def test_sharded_fused_ppo_train_step():
     assert w1.sharding.is_fully_replicated
     # Every lane shard advanced its env clock.
     assert int(jnp.sum(state2.S["t"])) > 0
+
+
+def test_sharded_ppo_checkpoint_roundtrip(tmp_path):
+    """The SHARDED fused-PPO train state checkpoints and restores with
+    its shardings intact (orbax handles jax.Array shardings natively),
+    and training resumes bit-exactly."""
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+        IslandNavigationExMa,
+    )
+    from ai_safety_gridworlds_tpu.learners import ppo_fused
+    from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
+    from ai_safety_gridworlds_tpu.utils.checkpoint import CheckpointManager
+
+    mesh = _mesh()
+    fused = FusedIslandMa(IslandNavigationExMa(max_iterations=6))
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=4, n_epochs=1, n_minibatches=2, hidden=8
+    )
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(3), batch_size=2 * N_DEV, config=config
+    )
+    train_step, shard_state = ppo_fused.make_sharded_train_step(
+        fused, mesh, config=config, tile=2
+    )
+    state = shard_state(state)
+    state, _ = train_step(state)
+
+    with CheckpointManager(str(tmp_path / "ckpt")) as mgr:
+        mgr.save(1, state)
+        restored = mgr.restore(1, state)
+
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Same sharding layout on the restored state.
+    assert restored.S["t"].sharding == state.S["t"].sharding
+
+    s1, m1 = train_step(state)
+    s2, m2 = train_step(restored)
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["mlp_w1"]), np.asarray(s2.params["mlp_w1"])
+    )
