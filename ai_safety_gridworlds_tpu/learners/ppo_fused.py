@@ -293,6 +293,55 @@ def _update_from_traj(fused, traj, boot, params, opt_state, opt, dims,
     return params, opt_state, metrics
 
 
+def evaluate(
+    fused, params, n_steps: int = 256, batch: int = 1024, seed: int = 0,
+    backend: str = "pallas", tile: int | None = None,
+    interpret: bool | None = None,
+):
+    """Evaluate MLP policy ``params`` at fused-kernel speed.
+
+    Runs ``n_steps`` over a fresh ``batch`` of auto-resetting lanes under
+    the in-kernel policy and computes EXACT per-episode returns from the
+    emitted trajectory (a scan accumulates each agent-stream's rewards
+    and harvests them at done flags — partial tail episodes are
+    excluded, unlike a naive stats_rewards / episodes ratio).
+
+    Returns a dict with ``mean_episode_return`` (mean over completed
+    per-agent episode returns), ``episodes`` (completed, per-agent
+    streams), ``mean_step_reward``, and ``env_steps``.
+    """
+    S = fused.init_packed(seed=seed, batch=batch)
+    _, traj, _ = fused.rollout_collect(
+        S, params, n_steps, backend=backend, tile=tile, interpret=interpret
+    )
+    reward, done = traj["reward"], traj["done"]  # [T, n, B]
+    valid = (traj["action"] >= 0).astype(jnp.float32)
+
+    def body(carry, tr):
+        acc, prev_d = carry
+        acc = acc + tr["r"]
+        d = tr["d"].astype(jnp.float32)
+        # Harvest only on the TRANSITION into done: a DEAD agent re-emits
+        # done=1 on every later step of the episode.
+        first_done = d * (1.0 - prev_d)
+        out = (acc * first_done, first_done)
+        return (acc * (1.0 - d), d), out
+
+    zeros = jnp.zeros(reward.shape[1:], jnp.float32)
+    _, (returns, ends) = jax.lax.scan(
+        body, (zeros, zeros), {"r": reward, "d": done},
+    )
+    n_episodes = ends.sum()
+    return {
+        "mean_episode_return": returns.sum()
+        / jnp.maximum(n_episodes, 1.0),
+        "episodes": n_episodes,
+        "mean_step_reward": (reward * valid).sum()
+        / jnp.maximum(valid.sum(), 1.0),
+        "env_steps": n_steps * batch,
+    }
+
+
 def make_sharded_train_step(
     fused, mesh, config: FusedPPOConfig = FusedPPOConfig(),
     axis: str = "data", backend: str = "pallas",

@@ -253,3 +253,41 @@ def test_ppo_train_step_other_kernels(kernel):
         np.asarray(state2.params["mlp_w1"]),
         np.asarray(state.params["mlp_w1"]),
     )
+
+
+def test_evaluate_exact_episode_returns():
+    """evaluate() matches a host-side replay of the emitted trajectory:
+    per-agent episode returns harvested at done TRANSITIONS only (DEAD
+    agents re-emit done), partial tail episodes excluded."""
+    env = IslandNavigationExMa(max_iterations=5)
+    fused = FusedIslandMa(env)
+    params = ppo_fused.init_params(
+        jax.random.PRNGKey(1), fused.POLICY_FEATURES,
+        fused.amax - fused.amin + 1, hidden=8,
+    )
+    out = ppo_fused.evaluate(
+        fused, params, n_steps=24, batch=8, seed=4, backend="xla"
+    )
+    # Host-side oracle from the same trajectory.
+    S = fused.init_packed(seed=4, batch=8)
+    _, traj, _ = fused.rollout_collect(S, params, 24, backend="xla")
+    reward = np.asarray(traj["reward"])
+    done = np.asarray(traj["done"]) > 0
+    T, n, B = reward.shape
+    rets, count = [], 0
+    for j in range(n):
+        for b in range(B):
+            acc, prev = 0.0, False
+            for t in range(T):
+                acc += reward[t, j, b]
+                if done[t, j, b] and not prev:
+                    rets.append(acc)
+                    count += 1
+                if done[t, j, b]:
+                    acc = 0.0
+                prev = done[t, j, b]
+    assert int(out["episodes"]) == count and count > 0
+    np.testing.assert_allclose(
+        float(out["mean_episode_return"]),
+        float(np.mean(rets)), rtol=1e-5,
+    )
