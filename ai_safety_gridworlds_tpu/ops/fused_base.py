@@ -343,6 +343,31 @@ class FusedMaBase:
             self._pallas_cache = {}
         self._invalidate_device_cache()
 
+    # -------------------------------------------------------- layout pools
+
+    def _pool_select(self, statics, over, S):
+        """Per-episode layout selection for kernels with a host-drawn
+        layout pool (``init_packed(layout_pool=K)``).
+
+        Returns ``(pooled, ep_idx)``: ``pooled(base_key)`` resolves a
+        static board through a K-way select on ``ep_idx % K`` (reads the
+        statics directly when K == 1, no overhead), and ``ep_idx`` is the
+        updated per-lane episode counter (``None`` when K == 1) —
+        kernels put it in their output dict."""
+        K = getattr(self, "layout_pool", 1)
+        if K <= 1:
+            return (lambda base_key: statics[base_key]), None
+        ep_idx = jnp.where(over, S["ep_idx"] + 1, S["ep_idx"])
+        li = jnp.mod(ep_idx, K)
+
+        def pooled(base_key):
+            v = statics[base_key]
+            for k in range(1, K):
+                v = jnp.where(li == k, statics[f"{base_key}_p{k}"], v)
+            return v
+
+        return pooled, ep_idx
+
     # ------------------------------------------------------------ backends
 
     @staticmethod

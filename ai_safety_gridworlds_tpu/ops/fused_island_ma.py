@@ -387,22 +387,8 @@ class FusedIslandMa(FusedMaBase):
             (types == LAST) | (types == DEAD), axis=0, keepdims=True
         )
 
-        # Layout pool: per-episode layout via a K-way select (ep_idx % K);
-        # K == 1 reads the statics directly (no overhead).
-        K = getattr(self, "layout_pool", 1)
-        ep_idx = None
-        if K > 1:
-            ep_idx = jnp.where(over, S["ep_idx"] + 1, S["ep_idx"])
-            li = jnp.mod(ep_idx, K)
-
-            def pooled(base_key):
-                v = statics[base_key]
-                for k in range(1, K):
-                    v = jnp.where(li == k, statics[f"{base_key}_p{k}"], v)
-                return v
-        else:
-            def pooled(base_key):
-                return statics[base_key]
+        # Layout pool: per-episode layout via a K-way select (ep_idx % K).
+        pooled, ep_idx = self._pool_select(statics, over, S)
 
         wall_f = pooled("wall")
         sboard = pooled("sboard")

@@ -502,22 +502,8 @@ class FusedSavanna(FusedMaBase):
         )
 
         # Layout pool: each lane's per-episode layout comes from a K-way
-        # select over the pooled statics (``ep_idx % K``); K == 1 reads
-        # the statics directly (no overhead).
-        K = getattr(self, "layout_pool", 1)
-        ep_idx = None
-        if K > 1:
-            ep_idx = jnp.where(over, S["ep_idx"] + 1, S["ep_idx"])
-            li = jnp.mod(ep_idx, K)
-
-            def pooled(base_key):
-                v = statics[base_key]
-                for k in range(1, K):
-                    v = jnp.where(li == k, statics[f"{base_key}_p{k}"], v)
-                return v
-        else:
-            def pooled(base_key):
-                return statics[base_key]
+        # select over the pooled statics (``ep_idx % K``).
+        pooled, ep_idx = self._pool_select(statics, over, S)
 
         wall_f = pooled("wall")
         sboard = pooled("sboard")
