@@ -75,6 +75,16 @@ def main():
                     f"~{rate:,.0f} env-steps/s incl. update"
                 )
 
+    # Held-out evaluation at fused speed: exact completed-episode returns.
+    ev = ppo_fused.evaluate(
+        fused, state.params, n_steps=128, batch=args.batch,
+        seed=999, backend=args.backend,
+    )
+    print(
+        f"eval: mean episode return {float(ev['mean_episode_return']):+.2f} "
+        f"over {int(ev['episodes'])} episodes"
+    )
+
 
 if __name__ == "__main__":
     main()
