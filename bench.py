@@ -327,20 +327,32 @@ def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS):
 WORKER_TIMEOUT_S = 2400
 
 
+def _results_map(lines):
+    return {
+        line["metric"].split("env_steps_per_sec_")[1].rsplit("_b", 1)[0]:
+        line["value"]
+        for line in lines
+        if line.get("metric", "").startswith("env_steps_per_sec_")
+    }
+
+
 def _last_good_headline():
-    """Most recent firemaker line from BENCH_HISTORY.jsonl, or None."""
+    """Most recent firemaker line from BENCH_HISTORY.jsonl (plus that
+    run's per-config results map), or (None, {})."""
     try:
         with open("BENCH_HISTORY.jsonl") as f:
             records = [json.loads(l) for l in f if l.strip()]
     except OSError:
-        return None
+        return None, {}
     for rec in reversed(records):
         for line in rec.get("results", []):
             if line.get("metric", "").startswith(
                 "env_steps_per_sec_firemaker_ex_ma_b"
-            ) and line.get("kernel") == "fused_pallas":
-                return line
-    return None
+            ) and line.get("kernel") == "fused_pallas" and not line.get(
+                "stale"
+            ):
+                return line, _results_map(rec.get("results", []))
+    return None, {}
 
 
 def main():
@@ -408,12 +420,7 @@ def main():
         except Exception:
             pass
 
-    results = {
-        line["metric"].split("env_steps_per_sec_")[1].rsplit("_b", 1)[0]:
-        line["value"]
-        for line in lines
-        if line.get("metric", "").startswith("env_steps_per_sec_")
-    }
+    results = _results_map(lines)
     headline = next(
         (
             line for line in lines
@@ -424,9 +431,12 @@ def main():
         None,
     )
     if headline is None:
-        headline = _last_good_headline()
+        headline, last_results = _last_good_headline()
         if headline is not None:
             headline = dict(headline, stale=True)
+            # Carry the stale run's full per-config map for anything this
+            # run didn't manage to measure.
+            results = {**last_results, **results}
     if headline is None:  # no history either: emit a zero-value marker
         headline = {
             "metric": f"env_steps_per_sec_firemaker_ex_ma_b{BATCH}",
