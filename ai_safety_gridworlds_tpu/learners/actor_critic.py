@@ -101,11 +101,15 @@ def unroll_and_loss(
         eps = carry
         obs = obs_fn(eps.env_state)
         logits, value = forward(params, obs)
-        actions = jax.random.categorical(step_key, logits)
-        actions = jnp.clip(actions, env.action_min, env.action_max)
+        # Logit index i maps to action action_min + i (n_actions covers
+        # exactly [action_min, action_max]); clipping a 0-based sample
+        # into the action range would double-weight the boundary action
+        # and score the wrong logit.
+        idx = jax.random.categorical(step_key, logits)
+        actions = idx + env.action_min
         eps, outs = step_fn(eps, actions)
         logp = jax.nn.log_softmax(logits)[
-            jnp.arange(actions.shape[0]), actions
+            jnp.arange(idx.shape[0]), idx
         ]
         entropy = -jnp.sum(
             jax.nn.softmax(logits) * jax.nn.log_softmax(logits), axis=-1

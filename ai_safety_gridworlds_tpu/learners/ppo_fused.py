@@ -309,9 +309,15 @@ def evaluate(
     Returns a dict with ``mean_episode_return`` (mean over completed
     per-agent episode returns), ``episodes`` (completed, per-agent
     streams), ``mean_step_reward``, and ``env_steps``.
+
+    Runs on a FRESH kernel instance over the same env: ``init_packed``
+    mutates engine statics (layouts, state fields), so evaluating through
+    the training engine would re-pack it out from under an in-progress
+    training state.
     """
-    S = fused.init_packed(seed=seed, batch=batch)
-    _, traj, _ = fused.rollout_collect(
+    eval_fused = type(fused)(fused.env)
+    S = eval_fused.init_packed(seed=seed, batch=batch)
+    _, traj, _ = eval_fused.rollout_collect(
         S, params, n_steps, backend=backend, tile=tile, interpret=interpret
     )
     reward, done = traj["reward"], traj["done"]  # [T, n, B]
@@ -384,6 +390,10 @@ def make_sharded_train_step(
         k: jax.device_put(v, NamedSharding(mesh, static_specs[k]))
         for k, v in statics_host.items()
     }
+    # The sharded statics are captured at BUILD time; a later
+    # init_packed() (host re-randomization) would silently train on
+    # stale boards, so pin the engine's statics identity and refuse.
+    statics_ref = fused._kstatics_np
 
     def local_update(params, opt_state, S, statics_l, key):
         key, _ = jax.random.split(key)
@@ -408,7 +418,7 @@ def make_sharded_train_step(
     )
 
     @jax.jit
-    def train_step(state: FusedPPOState):
+    def _train_step_jit(state: FusedPPOState):
         params, opt_state, S, key, metrics = sharded(
             state.params, state.opt_state, state.S, statics_sharded,
             state.key,
@@ -420,6 +430,16 @@ def make_sharded_train_step(
             key=key,
             update_idx=state.update_idx + 1,
         ), metrics
+
+    def train_step(state: FusedPPOState):
+        if fused._kstatics_np is not statics_ref:
+            raise RuntimeError(
+                "the engine was re-packed (init_packed) after "
+                "make_sharded_train_step captured its statics — rebuild "
+                "the sharded train step (and re-shard the state) to pick "
+                "up the new layouts"
+            )
+        return _train_step_jit(state)
 
     def shard_state(state: FusedPPOState) -> FusedPPOState:
         repl = NamedSharding(mesh, P())

@@ -38,10 +38,12 @@ DEAD = int(StepType.DEAD)
 def min_water_dist(water_b: np.ndarray, h: int, w: int) -> np.ndarray:
     """Per-lane min-Manhattan distance to water, clamped to 99.
 
-    ``water_b`` is bool [HW, B]; returns int32 [HW, B]. Matches the
-    device kernels' historical ``where(d > 98, 99, d)`` clamp and the
-    per-env ``_water_dist`` tables. Works per lane over the (few) water
-    cells, so memory stays O(HW^2 + HW*B) even for resized maps.
+    ``water_b`` is bool [HW, B]; returns int32 [HW, B] (99 for lanes
+    without water). Matches the device kernels' historical
+    ``where(d > 98, 99, d)`` clamp and the per-env ``_water_dist``
+    tables. Vectorized over 256-lane chunks (memory stays
+    O(HW^2 * 256) regardless of batch), shared by the island and
+    savanna packers.
     """
     HW, B = water_b.shape
     cells = np.arange(HW, dtype=np.int32)
@@ -49,12 +51,15 @@ def min_water_dist(water_b: np.ndarray, h: int, w: int) -> np.ndarray:
     d2 = (
         np.abs(rr[:, None] - rr[None, :])
         + np.abs(cc[:, None] - cc[None, :])
-    ).astype(np.int32)
-    dist = np.full((HW, B), 99, np.int32)
-    for b in range(B):
-        idx = np.nonzero(water_b[:, b])[0]
-        if idx.size:
-            dist[:, b] = np.minimum(d2[:, idx].min(axis=1), 99)
+    ).astype(np.int16)  # [HW, HW]
+    dist = np.empty((HW, B), np.int32)
+    for s in range(0, B, 256):
+        wchunk = water_b[:, s : s + 256]  # [HW, bc]
+        dd = np.where(
+            wchunk[None, :, :], d2[:, :, None].astype(np.int32), 9999
+        )
+        m = dd.min(axis=1)
+        dist[:, s : s + 256] = np.where(m > 98, 99, m)
     return dist
 
 
@@ -259,7 +264,11 @@ class FusedMaBase:
         rows."""
         W, H = self.w, self.h
         pj = pos[j : j + 1].astype(jnp.float32)
-        row = jnp.floor(pj * jnp.float32(1.0 / W))
+        # +0.5 before the reciprocal multiply: f32(1/W) is inexact for
+        # some widths (41, 47, ...) and floor(W * f32(1/W)) can land at
+        # W-1; the half-cell offset keeps the quotient strictly inside
+        # the right unit interval for any board that fits in f32 ints.
+        row = jnp.floor((pj + 0.5) * jnp.float32(1.0 / W))
         col = pj - row * W
         pos_feats = [
             row * jnp.float32(1.0 / max(H - 1, 1)),
@@ -499,7 +508,10 @@ class FusedMaBase:
             tile = self.DEFAULT_TILE
         B = S["t"].shape[1]
         pol = getattr(self, "_policy_np", None)
-        if pol:
+        # Only sanity-check the per-lane policy batch when WE supply the
+        # statics: inside shard_map, callers pass lane-local statics
+        # whose B is the shard width, not the host-global policy batch.
+        if pol and statics is None:
             pb = pol["pol_w"].shape[1]
             if pb not in (1, B):
                 raise ValueError(

@@ -130,10 +130,6 @@ class FusedFiremaker(FusedMaBase):
             + 8.0 * self.consts["territory"]
             + 16.0 * self.consts["external"]
         )
-        self.spread_offsets = [
-            (dr * w + dc, float(np.log1p(-p)))
-            for dr, dc, p in env._spread_offsets
-        ]
         # Separable grouping of the stencil: roll(x, dr*W + dc) ==
         # roll(roll(x, dc), dr*W), so rolling the source once per distinct
         # column offset and each row-group's weighted sum once per distinct
@@ -236,6 +232,10 @@ class FusedFiremaker(FusedMaBase):
             )
             fields = fields + ("act_dir", "obs_dir")
         self.STATE_FIELDS = fields
+        # Subclass contract (fused_base): re-packing must invalidate the
+        # memoized device statics (no packed statics today, but installed
+        # policies ride the same cache).
+        self._invalidate_device_cache()
         return state
 
     STATE_FIELDS = (

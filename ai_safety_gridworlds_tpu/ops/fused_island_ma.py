@@ -35,8 +35,6 @@ the reference (``tests/test_island_navigation_ex_ma.py``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

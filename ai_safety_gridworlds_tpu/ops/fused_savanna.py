@@ -43,8 +43,6 @@ per-episode randomization; equivalence of everything else is asserted by
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -420,21 +418,7 @@ class FusedSavanna(FusedMaBase):
             if cid:
                 code += cid * statics[name]
         if env._has_water:
-            cells_i = np.arange(HW, dtype=np.int32)
-            rr, cc = cells_i // w, cells_i % w
-            d2 = (
-                np.abs(rr[:, None] - rr[None, :])
-                + np.abs(cc[:, None] - cc[None, :])
-            ).astype(np.int16)  # [HW, HW]
-            dist = np.full((HW, batch), 9999, np.int32)
-            water_b = statics["water"] > 0.5
-            for s in range(0, batch, 256):
-                wchunk = water_b[:, s : s + 256]  # [HW, bc]
-                dd = np.where(
-                    wchunk[None, :, :], d2[:, :, None].astype(np.int32), 9999
-                )
-                dist[:, s : s + 256] = dd.min(axis=1)
-            dist = np.where(dist > 98, 99, dist)
+            dist = min_water_dist(statics["water"] > 0.5, self.h, w)
         else:
             dist = np.full((HW, batch), 99, np.int32)
         sboard = code + 16.0 * dist.astype(np.float32)
