@@ -161,7 +161,12 @@ class GridworldGymEnv(gym.Env):
             done = agent_st is not None and int(agent_st) in (2, 3)
         else:
             done = st.last()
-        self._cumulative_reward += np.sum(reward)
+        # Keep the per-dimension vector for MO envs (reference:
+        # ``self._cumulative_reward += reward`` — 0.0 + vector broadcasts).
+        if reward is not None:
+            self._cumulative_reward = (
+                self._cumulative_reward + np.asarray(reward)
+            )
 
         if gym_v26:
             return state, reward, done, False, info

@@ -115,7 +115,27 @@ class SafetyEnvironment:
     # (``safety_game_moma.py:405-428``): jitted callables are rebuilt on
     # load, device arrays round-trip through numpy.
 
-    _UNPICKLABLE = ("_jit_reset", "_jit_step", "_jit_substep", "_jit_finalize")
+    _UNPICKLABLE = (
+        "_jit_reset", "_jit_step", "_jit_substep", "_jit_finalize",
+        "_jit_observe_fn", "_jit_board_fn",
+    )
+
+    def _jit_observe(self):
+        """Cached jitted ``game.observe`` (a fresh ``jax.jit`` wrapper per
+        call would re-trace every step)."""
+        fn = getattr(self, "_jit_observe_fn", None)
+        if fn is None:
+            fn = jax.jit(self._game.observe)
+            self._jit_observe_fn = fn
+        return fn
+
+    def _jit_board(self):
+        """Cached jitted ``game.board`` (see :meth:`_jit_observe`)."""
+        fn = getattr(self, "_jit_board_fn", None)
+        if fn is None:
+            fn = jax.jit(self._game.board)
+            self._jit_board_fn = fn
+        return fn
 
     def __getstate__(self):
         state = {
@@ -139,7 +159,10 @@ class SafetyEnvironment:
         closure constants change (per-episode map randomization)."""
         self._jit_reset = jax.jit(self._reset_impl)
         self._jit_step = jax.jit(self._step_impl)
-        for attr in ("_jit_substep", "_jit_finalize"):
+        for attr in (
+            "_jit_substep", "_jit_finalize",
+            "_jit_observe_fn", "_jit_board_fn",
+        ):
             if hasattr(self, attr):
                 delattr(self, attr)
 
@@ -288,7 +311,7 @@ class SafetyEnvironment:
         """Current board as uint8 char codes (for ansi rendering)."""
         if self._state is None:
             raise RuntimeError("Environment has no live episode.")
-        return np.asarray(jax.jit(self._game.board)(self._state))
+        return np.asarray(self._jit_board()(self._state))
 
     def last_observation(self) -> dict:
         """The most recent observation dict (board/RGB/...)."""

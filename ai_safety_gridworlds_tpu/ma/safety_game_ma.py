@@ -26,7 +26,7 @@ agent count, with each sub-step gated on the acting agent's aliveness).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional  # noqa: F401 (Any used in annotations)
 
 import jax
 import jax.numpy as jnp

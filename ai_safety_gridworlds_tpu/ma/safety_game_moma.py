@@ -259,6 +259,12 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         return timestep._replace(step_type=step_types)
 
     def step(self, agents_actions, q_value_per_action=None) -> TimeStep:
+        if self._state is None:
+            # No live episode (construction probe dropped it): start one,
+            # like the scalar/MO shells and the reference
+            # (``pycolab_interface_ma.py``: ``if self._current_game is
+            # None: return self.reset(...)``).
+            return self.reset()
         if q_value_per_action is None:
             q_value_per_action = self.q_value_per_action
         if q_value_per_action is not None and (
@@ -318,7 +324,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             self._state, out = self._jit_finalize(
                 state, jnp.asarray(rewards)
             )
-            obs = jax.jit(self._game.observe)(self._state)
+            obs = self._jit_observe()(self._state)
         elif hasattr(self._game, "host_substep_options"):
             # Sub-step-granular host randomness (e.g. firemaker's fire
             # spread): loop the slots on host, drawing each sub-step's
@@ -356,7 +362,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             self._state, out = self._jit_finalize(
                 state, jnp.asarray(rewards)
             )
-            obs = jax.jit(self._game.observe)(self._state)
+            obs = self._jit_observe()(self._state)
         else:
             options = {
                 "agent_order": jnp.asarray(order),
@@ -418,7 +424,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         observation[EXTRA_OBSERVATIONS] = {
             "termination_reason": term_dict,
         }
-        self._attach_ma_stats(observation)
+        self._attach_ma_stats(observation, step_rewards=rewards_arr)
         self._attach_observable_attributes(observation)
         self._last_observation_dict = observation
         if self.log_columns and int(np.asarray(self._state.t)) > 0:
@@ -709,7 +715,13 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
 
     # ------------------------------------------------------------- stats
 
-    def _attach_ma_stats(self, obs):
+    def _attach_ma_stats(self, obs, step_rewards=None):
+        """Per-agent statistics on the observation.
+
+        ``step_rewards`` is the [n_agents, n_dims] per-STEP reward array
+        (zeros at reset): per-step gini/variance/reward_dict come from it
+        (``safety_game_moma.py:1289,1330-1352``); DEAD agents are skipped
+        in the per-step stat dicts, exactly like the reference loop."""
         keys = self.enabled_reward_dimension_keys
         iteration = int(self._state.t)
         metrics_dict = self._current_metrics()
@@ -717,6 +729,7 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         obs[METRICS_MATRIX] = np.array(
             [[k, v] for k, v in metrics_dict.items()], dtype=object
         )
+        types = np.asarray(self._state.step_types)
         cumulative = {}
         average = {}
         gini = {}
@@ -735,14 +748,29 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             average[a] = (
                 np.float64(avg.sum()) if self.scalarise else avg.copy()
             )
-            gini[a] = gini_coefficient(dims * 0) * 100  # per-step set below
-            cum_gini[a] = gini_coefficient(dims) * 100
-            variance[a] = np.var(dims * 0, ddof=0)
-            cum_var[a] = np.var(dims, ddof=0)
-            avg_var[a] = np.var(avg, ddof=0)
+            step_dims = self._agent_reward_vector(
+                step_rewards[i] if step_rewards is not None
+                else np.zeros_like(self._episode_returns[i]),
+                a,
+            )
+            reward_dicts[a] = dict(
+                zip(
+                    self.enabled_agents_reward_dimensions[a],
+                    step_dims.tolist(),
+                )
+            )
             cum_dicts[a] = dict(
                 zip(self.enabled_agents_reward_dimensions[a], dims.tolist())
             )
+            if int(types[i]) == int(StepType.DEAD):
+                # The reference's per-step stat loop skips dead agents
+                # (their keys are absent for the step).
+                continue
+            gini[a] = gini_coefficient(step_dims) * 100
+            cum_gini[a] = gini_coefficient(dims) * 100
+            variance[a] = np.var(step_dims, ddof=0)
+            cum_var[a] = np.var(dims, ddof=0)
+            avg_var[a] = np.var(avg, ddof=0)
         obs[CUMULATIVE_REWARD] = cumulative
         obs[AVERAGE_REWARD] = average
         obs[GINI_INDEX] = gini

@@ -383,7 +383,7 @@ class SafetyEnvironmentMo(SafetyEnvironment):
             self._state = self._game.host_reset_sweep(
                 self._state, self._np_random
             )
-            obs = jax.jit(self._game.observe)(self._state)
+            obs = self._jit_observe()(self._state)
         self._last_step_type = StepType.FIRST
         self._episode_return = np.zeros(
             (self._game.reward_space.n_dims,), np.float64

@@ -143,8 +143,8 @@ class ShardedCsvSink:
         per-lane metric). Only addressable shards are fetched — nothing is
         gathered across hosts.
         """
-        lanes = None
         cols = {}
+        lane_sets = {}
         for name in self.columns:
             arr = values[name]
             shard_rows = {}
@@ -154,9 +154,19 @@ class ShardedCsvSink:
                 for k, v in enumerate(data):
                     shard_rows[start + k] = v
             cols[name] = shard_rows
-            if lanes is None:
-                lanes = sorted(shard_rows)
-        for lane in lanes or []:
+            lane_sets[name] = frozenset(shard_rows)
+        # All columns must agree on which lanes this host owns — a mix of
+        # batch-sharded and replicated columns would otherwise write
+        # duplicate or missing rows across hosts.
+        if len(set(lane_sets.values())) > 1:
+            detail = {k: sorted(v)[:4] for k, v in lane_sets.items()}
+            raise ValueError(
+                "ShardedCsvSink columns have differing lane shardings: "
+                f"{detail} — shard every logged column over the batch "
+                "axis (replicated stats belong in a host-0-only log)"
+            )
+        lanes = sorted(next(iter(lane_sets.values()))) if lane_sets else []
+        for lane in lanes:
             row = [str(step), str(lane)] + [
                 self._fmt(cols[name][lane]) for name in self.columns
             ]

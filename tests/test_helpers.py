@@ -98,3 +98,44 @@ def test_gym_registration():
     obs, info = env.reset()
     obs, reward, terminated, truncated, info = env.step(4)
     assert reward == 2.0  # clockwise entry from start
+
+
+def test_moma_per_step_stats_not_zeroed():
+    """Per-step gini_index / mo_variance / reward_dict come from the
+    STEP's reward dims (reference safety_game_moma.py:1289,1330-1352) —
+    they were previously computed from a zeroed vector."""
+    import numpy as np
+
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+    from ai_safety_gridworlds_tpu.ma.safety_game_moma import (
+        SafetyEnvironmentMoMa,
+    )
+    from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
+        gini_coefficient,
+        reset_class_statics,
+    )
+
+    reset_class_statics()
+    env = SafetyEnvironmentMoMa(FiremakerExMa())
+    env.reset()
+    ts = env.step({a: 1 for a in env.agent_names})
+    for agent in env.agent_names:
+        dims = np.asarray(ts.reward[agent], np.float64)
+        obs = ts.observation
+        # reward_dict mirrors the step reward per dimension.
+        rd = obs["reward_dict"][agent]
+        np.testing.assert_allclose(
+            np.array(list(rd.values()), np.float64), dims
+        )
+        np.testing.assert_allclose(
+            obs["gini_index"][agent], gini_coefficient(dims) * 100
+        )
+        np.testing.assert_allclose(
+            obs["mo_variance"][agent], np.var(dims, ddof=0)
+        )
+    # Movement cost makes at least one agent's step stats nonzero.
+    assert any(
+        abs(v) > 0
+        for agent in env.agent_names
+        for v in ts.observation["reward_dict"][agent].values()
+    )
