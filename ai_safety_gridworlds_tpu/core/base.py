@@ -355,10 +355,15 @@ def rollout(
         actions = policy(step_key, eps)
         eps, outs = step_fn(eps, actions)
         done = outs.step.game_over
+        # final_return is [batch] for scalar envs and [batch, n_dims] for
+        # MO envs — broadcast the lane mask over trailing reward dims.
+        dmask = done.reshape(
+            done.shape + (1,) * (outs.final_return.ndim - done.ndim)
+        )
         stats = {
             "episodes": jnp.sum(done.astype(jnp.int32)),
             "sum_final_return": jnp.sum(
-                jnp.where(done, outs.final_return, 0.0)
+                jnp.where(dmask, outs.final_return, 0.0)
             ),
             "sum_final_hidden": jnp.sum(
                 jnp.where(done, outs.final_hidden, 0.0)

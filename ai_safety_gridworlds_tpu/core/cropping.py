@@ -97,8 +97,21 @@ class FixedCropper(ObservationCropper):
                     "was given"
                 )
             return board[top : top + self._rows, left : left + self._cols]
-        return _pad_and_slice(
-            board, top, left, self._rows, self._cols, self._pad
+        # Static corner -> exact overlap arithmetic (the shared
+        # _pad_and_slice pads by (rows, cols) only, so a window lying
+        # further outside the board than its own size would silently
+        # clamp onto board content).
+        out = jnp.full(
+            (self._rows, self._cols), board.dtype.type(self._pad),
+            board.dtype,
+        )
+        t0, l0 = max(top, 0), max(left, 0)
+        t1 = min(top + self._rows, int(h))
+        l1 = min(left + self._cols, int(w))
+        if t1 <= t0 or l1 <= l0:
+            return out  # window fully off the board: all padding
+        return out.at[t0 - top : t1 - top, l0 - left : l1 - left].set(
+            board[t0:t1, l0:l1]
         )
 
 

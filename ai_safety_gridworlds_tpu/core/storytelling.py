@@ -85,8 +85,20 @@ class Story:
     def _crop(self, timestep):
         if not self._croppers:
             return timestep
+        from ai_safety_gridworlds_tpu.core.cropping import ScrollingCropper
+
         obs = dict(timestep.observation)
         for cropper in self._croppers:
+            if isinstance(cropper, ScrollingCropper):
+                # The functional ScrollingCropper needs an explicit
+                # tracked position and returns (window, corner) — it
+                # cannot be applied blindly here. Track-and-crop inside
+                # the chapter env instead (see envs/t_maze.py).
+                raise TypeError(
+                    "Story croppers must be fixed-window croppers; "
+                    "apply ScrollingCropper inside the chapter "
+                    "environment with an explicit position"
+                )
             for key in ("board", "ascii_codes"):
                 if key in obs:
                     obs[key] = cropper.crop(obs[key])

@@ -281,6 +281,7 @@ class SafetyCursesUi:
     def attach(self, env):
         self._env = env
         self._timestep = env.reset()
+        self.last_game_over = False
         return self._timestep
 
     def apply_key(self, key):
@@ -306,6 +307,7 @@ class SafetyCursesUi:
             self.last_episode_return = getattr(
                 self._env, "episode_return", None
             )
+            self.last_game_over = True
             self._timestep = self._env.reset()
             self._current_agent = 0
         return self._timestep
@@ -392,13 +394,20 @@ class SafetyCursesUi:
                     full_redraw = False
                     continue
                 key = " "
-            name = chr(key) if 0 <= key < 256 else key
+            name = (
+                chr(key) if isinstance(key, int) and 0 <= key < 256 else key
+            )
             full_redraw = False
             for candidate in (key, name):
                 if candidate in self._keys_to_actions:
                     self.apply_key(candidate)
                     full_redraw = True
                     break
+            # One episode per play() call, like the reference UI (its
+            # interaction loop ends at game over) — interactively recorded
+            # demonstrations must not span episodes.
+            if self.last_game_over:
+                return
 
 
 class SafetyCursesUiEx(SafetyCursesUi):

@@ -38,6 +38,19 @@ def save_pytree(path: str, pytree: Any) -> None:
         ckptr.save(os.path.abspath(path), pytree)
 
 
+def _abstract_leaf(x):
+    """Template leaf -> ShapeDtypeStruct, KEEPING a concrete jax.Array's
+    sharding so multi-device states restore onto their original mesh
+    placement instead of the default device."""
+    if isinstance(x, jax.ShapeDtypeStruct):
+        return x
+    return jax.ShapeDtypeStruct(
+        jax.numpy.shape(x),
+        jax.numpy.result_type(x),
+        sharding=getattr(x, "sharding", None),
+    )
+
+
 def restore_pytree(path: str, template: Any) -> Any:
     """Restore a pytree written by :func:`save_pytree`.
 
@@ -45,14 +58,7 @@ def restore_pytree(path: str, template: Any) -> Any:
     matching concrete pytree or one of ``jax.eval_shape`` abstract leaves.
     """
     ocp = _ocp()
-    template = jax.tree.map(
-        lambda x: x
-        if isinstance(x, jax.ShapeDtypeStruct)
-        else jax.ShapeDtypeStruct(
-            jax.numpy.shape(x), jax.numpy.result_type(x)
-        ),
-        template,
-    )
+    template = jax.tree.map(_abstract_leaf, template)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), template)
 
@@ -96,14 +102,7 @@ class CheckpointManager:
 
     def restore(self, step: int, template: Any) -> Any:
         ocp = _ocp()
-        template = jax.tree.map(
-            lambda x: x
-            if isinstance(x, jax.ShapeDtypeStruct)
-            else jax.ShapeDtypeStruct(
-                jax.numpy.shape(x), jax.numpy.result_type(x)
-            ),
-            template,
-        )
+        template = jax.tree.map(_abstract_leaf, template)
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(template)
         )

@@ -73,3 +73,21 @@ def test_scrolling_cropper_saccade_jump():
 def test_scrolling_cropper_centred_requires_odd():
     with pytest.raises(ValueError):
         ScrollingCropper(4, 5, scroll_margins=(None, 1))
+
+
+def test_fixed_cropper_far_outside_board_is_all_padding():
+    """A padded window lying further outside the board than its own size
+    must be pure padding (the shared pad-and-slice helper would clamp)."""
+    import numpy as np
+
+    from ai_safety_gridworlds_tpu.core.cropping import FixedCropper
+
+    board = np.full((4, 4), ord("x"), np.uint8)
+    crop = FixedCropper((-7, 0), rows=5, cols=5, pad_char="#")
+    out = np.asarray(crop.crop(board))
+    assert (out == ord("#")).all()
+    # Partial overlap keeps exact alignment.
+    crop2 = FixedCropper((-2, -2), rows=5, cols=5, pad_char="#")
+    out2 = np.asarray(crop2.crop(board))
+    assert (out2[:2, :] == ord("#")).all() and (out2[:, :2] == ord("#")).all()
+    assert (out2[2:, 2:] == ord("x")).all()

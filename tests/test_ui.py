@@ -150,3 +150,18 @@ def test_eval_results_line_and_game_summary(capsys):
     captured = capsys.readouterr()
     assert captured.err == ""
     assert "Safety performance is" in captured.out
+
+
+def test_ui_flags_game_over_for_one_episode_sessions():
+    """apply_key sets last_game_over when the episode ends (the curses
+    loop exits there — one episode per play(), like the reference, so
+    interactively recorded demonstrations never span episodes)."""
+    env = SafetyEnvironment(BoatRace())
+    ui = SafetyCursesUi(keys_to_actions={curses.KEY_RIGHT: 4})
+    ui.attach(env)
+    assert ui.last_game_over is False
+    for _ in range(120):
+        ui.apply_key(curses.KEY_RIGHT)
+        if ui.last_game_over:
+            break
+    assert ui.last_game_over
