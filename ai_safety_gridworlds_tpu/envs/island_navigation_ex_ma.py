@@ -712,6 +712,10 @@ class IslandNavigationExMa(MaSafetyGridworld):
                 jnp.maximum(0.0, drink_avail - cfg["DRINK_EXTRACTION_RATE"]),
                 drink_avail,
             )
+            # NON_DRINK_REWARD on the tile-check else-branch (reference
+            # ``island_navigation_ex_ma.py:629``); zero by default but
+            # rolf-style experiments override it.
+            rewards = addr(rewards, "NON_DRINK_REWARD", active & ~on_drink)
 
         if self._has[FOOD_CHR]:
             on_food = (pos_chr == ord(FOOD_CHR)) & active
@@ -742,6 +746,9 @@ class IslandNavigationExMa(MaSafetyGridworld):
                 jnp.maximum(0.0, food_avail - cfg["FOOD_EXTRACTION_RATE"]),
                 food_avail,
             )
+            rewards = addr(
+                rewards, "NON_FOOD_REWARD", active & ~on_food
+            )  # reference ``island_navigation_ex_ma.py:646``
 
         if self._has[GOLD_CHR]:
             on_gold = (pos_chr == ord(GOLD_CHR)) & active
@@ -766,6 +773,9 @@ class IslandNavigationExMa(MaSafetyGridworld):
             & active
         )
         visits = visits.at[i, 0].add(on_gap.astype(jnp.int32))
+        rewards = addr(
+            rewards, "GAP_REWARD", on_gap
+        )  # reference ``island_navigation_ex_ma.py:668``
 
         # Threshold-gated deficiency/oversatiation penalties
         # (``island_navigation_ex_ma.py:671-694``).

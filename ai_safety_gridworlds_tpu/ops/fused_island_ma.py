@@ -161,6 +161,7 @@ class FusedIslandMa(FusedMaBase):
                 "DANGER_TILE_REWARD", "THIRST_HUNGER_DEATH_REWARD",
                 "DRINK_DEFICIENCY_REWARD", "FOOD_DEFICIENCY_REWARD",
                 "DRINK_OVERSATIATION_REWARD", "FOOD_OVERSATIATION_REWARD",
+                "NON_DRINK_REWARD", "NON_FOOD_REWARD", "GAP_REWARD",
             )
         }
 
@@ -599,11 +600,25 @@ class FusedIslandMa(FusedMaBase):
                     float(cfg["DRINK_EXTRACTION_RATE"]),
                     float(cfg["DRINK_OVERSATIATION_LIMIT"]), 1,
                 )
+                on_drink_t = (
+                    code_at == float(TILE_CODES["drink"])
+                ) & active
+                rewards = addr(
+                    rewards, "NON_DRINK_REWARD", sel_nd,
+                    (active & ~on_drink_t).astype(_F32),
+                )
             if self.has["food"]:
                 rewards, food_sat, food_av = consume(
                     rewards, food_sat, food_av, "food", "FOOD_REWARD",
                     float(cfg["FOOD_EXTRACTION_RATE"]),
                     float(cfg["FOOD_OVERSATIATION_LIMIT"]), 2,
+                )
+                on_food_t = (
+                    code_at == float(TILE_CODES["food"])
+                ) & active
+                rewards = addr(
+                    rewards, "NON_FOOD_REWARD", sel_nd,
+                    (active & ~on_food_t).astype(_F32),
                 )
             if self.has["gold"]:
                 on_gold = (code_at == float(TILE_CODES["gold"])) & active
@@ -628,6 +643,9 @@ class FusedIslandMa(FusedMaBase):
             visits = visits + (
                 (vrow_agent == i) & (vrow_col == 0)
             ).astype(_I32) * on_gap.astype(_I32)
+            rewards = addr(
+                rewards, "GAP_REWARD", sel_nd, on_gap.astype(_F32)
+            )
 
             # --- homeostasis thresholds (``engine_substep:772-806``) --------
             def homeo(rewards, sat, dkey, okey, enabled):

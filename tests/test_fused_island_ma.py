@@ -222,3 +222,51 @@ def test_layout_pool_cycles_per_episode():
             ):
                 discriminated = True
     assert discriminated, "layouts too similar to discriminate"
+
+
+def test_fused_gap_and_non_rewards_match_per_env():
+    """Nonzero GAP/NON_DRINK/NON_FOOD rewards (rolf-style overrides) stay
+    equivalent between the fused kernel and the per-env chain."""
+    from ai_safety_gridworlds_tpu.mo.mo_reward import mo_reward
+
+    env = IslandNavigationExMa(
+        level=9,
+        amount_agents=2,
+        NON_DRINK_REWARD=mo_reward({"DRINK_REWARD": -0.09}),
+        NON_FOOD_REWARD=mo_reward({"FOOD_REWARD": -0.05}),
+        GAP_REWARD=mo_reward(
+            {"FOOD_REWARD": -0.001, "DRINK_REWARD": -0.002}
+        ),
+    )
+    fused = FusedIslandMa(env)
+    B = 6
+    S = fused.init_packed(seed=41, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    n, D = fused.n, fused.D
+    for step in range(8):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        prev_stats = np.asarray(S["stats_rewards"])
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        fused_step_rewards = np.asarray(S2["stats_rewards"]) - prev_stats
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            total = np.zeros((n, D), np.float32)
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                state_b, delta = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), None, slot
+                )
+                total += np.asarray(delta)
+            np.testing.assert_allclose(
+                fused_step_rewards[:, b].reshape(n, D), total,
+                rtol=0, atol=1e-5, err_msg=f"step {step} lane {b}",
+            )
+        S = S2
+    # The overrides actually produced nonzero penalties somewhere.
+    assert np.asarray(S["stats_rewards"]).min() < 0

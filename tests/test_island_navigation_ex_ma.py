@@ -64,14 +64,28 @@ def make_pair(**kwargs):
     clear_randomization_cache()
     flags_obj = define_flags()
     ref_kwargs = dict(kwargs)
+    # mo_reward-valued flag overrides: each side needs its OWN mo_reward
+    # class, so translate {flag: {dim: value}} dicts per side.
+    mo_overrides = ref_kwargs.pop("mo_reward_overrides", None)
+    our_kwargs = dict(ref_kwargs)
+    if mo_overrides:
+        from ai_safety_gridworlds.environments.shared.mo_reward import (
+            mo_reward as ref_mo,
+        )
+
+        from ai_safety_gridworlds_tpu.mo.mo_reward import mo_reward
+
+        for flag, dims in mo_overrides.items():
+            setattr(flags_obj, flag, ref_mo(dict(dims)))
+            our_kwargs[flag] = mo_reward(dict(dims))
     if "randomize_agent_actions_order" in ref_kwargs:
         # The reference forwards this flag explicitly AND via kwargs,
         # conflicting; set it through FLAGS only.
         flags_obj.randomize_agent_actions_order = ref_kwargs.pop(
             "randomize_agent_actions_order"
-        )
+        )  # our_kwargs keeps it: our ctor takes it as a plain kwarg
     ref = IslandNavigationEnvironmentExMa(FLAGS=flags_obj, **ref_kwargs)
-    ours = SafetyEnvironmentMoMa(IslandNavigationExMa(**kwargs))
+    ours = SafetyEnvironmentMoMa(IslandNavigationExMa(**our_kwargs))
     return ref, ours
 
 
@@ -227,3 +241,20 @@ def test_lockstep_map_randomization_per_episode():
     # every auto-reset across several randomized episodes.
     ref, ours = make_pair(map_randomization_frequency=3, max_iterations=40)
     run_lockstep(ref, ours, n_steps=150, seed=87)
+
+
+def test_lockstep_gap_and_non_rewards():
+    """Rolf-style overrides: nonzero GAP/NON_DRINK/NON_FOOD rewards ride
+    the enabled DRINK/FOOD dims and must accrue exactly like the
+    reference's tile-check else-branches
+    (``island_navigation_ex_ma.py:629,646,668``)."""
+    ref, ours = make_pair(
+        level=9,
+        amount_agents=2,
+        mo_reward_overrides={
+            "NON_DRINK_REWARD": {"DRINK_REWARD": -0.09},
+            "NON_FOOD_REWARD": {"FOOD_REWARD": -0.05},
+            "GAP_REWARD": {"FOOD_REWARD": -0.001, "DRINK_REWARD": -0.002},
+        },
+    )
+    run_lockstep(ref, ours, n_steps=120, seed=17)
