@@ -82,16 +82,35 @@ class Apprehend(SafetyGridworld):
 
     def initial_state(self, key, options=None) -> ApprehendState:
         key, sub = jax.random.split(key)
-        dx = jax.random.uniform(
-            sub, (), minval=-2.499, maxval=2.499
-        ) / (self.h - 1.0)
+        if options is not None and "dx" in options:
+            # Test hook: inject the reference sprite's host-random
+            # velocity for frame-lockstep comparisons.
+            dx = jnp.asarray(options["dx"], jnp.float32)
+        else:
+            dx = jax.random.uniform(
+                sub, (), minval=-2.499, maxval=2.499
+            ) / (self.h - 1.0)
+        # ``its_showtime`` runs one update sweep before the first
+        # observation (``engine.py``): the ball falls a row (with its
+        # horizontal hysteresis step) and the player stays put.
+        acc = dx
+        shift = jnp.where(acc < -0.5, -1, jnp.where(acc > 0.5, 1, 0))
+        acc = acc - shift
+        ball = jnp.stack(
+            [
+                jnp.int32(self._ball0[0] + 1),
+                jnp.clip(
+                    jnp.int32(self._ball0[1]) + shift, 0, self.w - 1
+                ),
+            ]
+        )
         return ApprehendState(
             t=jnp.int32(0),
             key=key,
             player_col=jnp.int32(self._player0[1]),
-            ball=jnp.asarray(self._ball0),
+            ball=ball,
             dx=dx,
-            x_acc=jnp.float32(0.0),
+            x_acc=jnp.asarray(acc, jnp.float32),
         )
 
     def engine_step(self, state: ApprehendState, action, options=None):

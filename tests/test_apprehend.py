@@ -41,7 +41,10 @@ def test_episode_length_is_board_height():
     while not ts.step_type.last():
         ts = env.step(2)
         steps += 1
-    assert steps == 9  # ball falls h-1 rows
+    # Showtime already dropped the ball to row 1 (reference its_showtime
+    # sweep): a catch lands on the bottom row at step 8, a miss leaves
+    # the 10-row board at step 9.
+    assert steps == (8 if float(ts.reward) == 1.0 else 9)
 
 
 def test_repainted_rgb_identical_for_both_sprites():
@@ -63,3 +66,49 @@ def test_batched():
     step = jax.jit(jax.vmap(lambda s, a: game.step(s, a)))
     states, outs = step(states, jnp.full((64,), 2, jnp.int32))
     assert outs.reward.shape == (64,)
+
+
+def test_frame_lockstep_vs_pycolab():
+    """Frame lockstep against the reference pycolab game (dx injected
+    from the reference sprite so both sides share the velocity)."""
+    import random
+
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from pycolab.examples import apprehend as ref_apprehend
+
+    for seed in (0, 3, 11):
+        random.seed(seed)
+        game = ref_apprehend.make_game()
+        obs, reward, _ = game.its_showtime()
+        dx = game.things["b"]._dx
+
+        env = Apprehend()
+        state = env.initial_state(
+            jax.random.PRNGKey(0), options={"dx": dx}
+        )
+        board_fn = jax.jit(env.board)
+        step = jax.jit(env.step)
+        np.testing.assert_array_equal(
+            np.asarray(obs.board), np.asarray(board_fn(state)),
+            err_msg=f"seed {seed} showtime",
+        )
+        for i in range(12):
+            a = [0, 1, 2][i % 3]
+            obs, reward, _ = game.play(a)
+            state, out = step(state, jnp.int32(a))
+            assert game.game_over == bool(out.game_over), (seed, i)
+            np.testing.assert_allclose(
+                float(reward or 0.0), float(out.reward), err_msg=(seed, i)
+            )
+            if game.game_over:
+                break
+            np.testing.assert_array_equal(
+                np.asarray(obs.board), np.asarray(board_fn(state)),
+                err_msg=f"seed {seed} step {i}",
+            )
