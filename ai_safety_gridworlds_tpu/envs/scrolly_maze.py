@@ -105,14 +105,35 @@ class ScrollyMaze(SafetyGridworld):
         self._value_lut = art.char_lut(value_mapping)
         self._rgb_lut = art.rgb_lut_from_colours(GAME_BG_COLOURS)
 
+    def _patrol_move(self, ppos, east, wall):
+        """One patroller sweep: reverse when facing a wall, then step
+        (``scrolly_maze.py:292-303``)."""
+        ahead_col = ppos[:, 1] + jnp.where(east, 1, -1)
+        next_to_wall = wall[ppos[:, 0], ahead_col]
+        east = east ^ next_to_wall
+        step_col = ppos[:, 1] + jnp.where(east, 1, -1)
+        blocked = wall[ppos[:, 0], step_col]
+        ppos = ppos.at[:, 1].set(
+            jnp.where(blocked, ppos[:, 1], step_col)
+        )
+        return ppos, east
+
     def initial_state(self, key, options=None) -> ScrollyMazeState:
+        # its_showtime sweep: patrollers move at frame 0 (the reference's
+        # ``the_plot.frame % 2`` gate is falsy at showtime).
+        wall = jnp.asarray(self._wall_mask)
+        ppos, east = self._patrol_move(
+            jnp.asarray(self._patrol0),
+            jnp.asarray(self._patrol_east0),
+            wall,
+        )
         return ScrollyMazeState(
             t=jnp.int32(0),
             key=key,
             pos=jnp.asarray(self._start_pos),
             coins=jnp.asarray(self._coins0),
-            patrol_pos=jnp.asarray(self._patrol0),
-            patrol_east=jnp.asarray(self._patrol_east0),
+            patrol_pos=ppos,
+            patrol_east=east,
         )
 
     def engine_step(self, state: ScrollyMazeState, action, options=None):
@@ -129,24 +150,22 @@ class ScrollyMaze(SafetyGridworld):
         reward = jnp.where(on_coin, 100.0, 0.0)
         all_collected = ~jnp.any(coins)
 
-        # Patrollers: move east/west every second frame, reverse at walls,
-        # kill on contact (``scrolly_maze.py:284-305``). Frame counter: this
-        # sub-step is frame t+1.
-        frame = state.t + 1
+        # Patrollers: move east/west on EVEN frames only (the showtime
+        # sweep was frame 0), reverse at walls, and kill when THEY move
+        # onto the player's PRE-move cell — patrollers update before 'P'
+        # in the reference schedule [['#'], ['a','b','c','P'], ['@']], so
+        # they read the player's last-frame position, and a stationary
+        # patroller never kills (``scrolly_maze.py:284-305``).
+        frame = state.t  # base.step already advanced to the current frame
         moving_turn = (frame % 2) == 0
-        east = state.patrol_east
-        ppos = state.patrol_pos
-        ahead_col = ppos[:, 1] + jnp.where(east, 1, -1)
-        next_to_wall = wall[ppos[:, 0], ahead_col]
-        east = jnp.where(moving_turn, east ^ next_to_wall, east)
-        step_col = ppos[:, 1] + jnp.where(
-            moving_turn, jnp.where(east, 1, -1), 0
+        moved_ppos, moved_east = self._patrol_move(
+            state.patrol_pos, state.patrol_east, wall
         )
-        blocked = wall[ppos[:, 0], step_col]
-        ppos = ppos.at[:, 1].set(jnp.where(blocked, ppos[:, 1], step_col))
+        ppos = jnp.where(moving_turn, moved_ppos, state.patrol_pos)
+        east = jnp.where(moving_turn, moved_east, state.patrol_east)
 
-        caught = jnp.any(
-            (ppos[:, 0] == new_pos[0]) & (ppos[:, 1] == new_pos[1])
+        caught = moving_turn & jnp.any(
+            (ppos[:, 0] == state.pos[0]) & (ppos[:, 1] == state.pos[1])
         )
         terminated = is_quit | all_collected | caught
 

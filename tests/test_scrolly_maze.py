@@ -87,3 +87,95 @@ def test_batched_rollout():
     for a in range(4):
         states, rewards = step(states, jnp.full((16,), a, jnp.int32))
     assert rewards.shape == (16,)
+
+
+def test_world_lockstep_vs_pycolab():
+    """World-coordinate lockstep: build the REFERENCE pycolab engine on
+    our maze art (PatternInfo + Scrolly drapes + patroller sprites) and
+    compare player/patroller virtual positions, rewards, and termination
+    every frame (our port keeps world-static boards — the reference's
+    scrolled screen is a view; see PARITY.md)."""
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from pycolab import ascii_art
+    from pycolab.examples import scrolly_maze as ref_sm
+    from pycolab.prefab_parts import drapes as prefab_drapes
+
+    from ai_safety_gridworlds_tpu.envs.scrolly_maze import MAZE_ART
+
+    maze = ["+" + MAZE_ART[0][1:]] + list(MAZE_ART[1:])
+    scrolly_info = prefab_drapes.Scrolly.PatternInfo(
+        maze, ref_sm.STAR_ART,
+        board_northwest_corner_mark="+", what_lies_beneath="#",
+    )
+    game = ascii_art.ascii_art_to_game(
+        ref_sm.STAR_ART, what_lies_beneath=" ",
+        sprites={
+            "P": ascii_art.Partial(
+                ref_sm.PlayerSprite, scrolly_info.virtual_position("P")
+            ),
+            "a": ascii_art.Partial(
+                ref_sm.PatrollerSprite, scrolly_info.virtual_position("a")
+            ),
+            "b": ascii_art.Partial(
+                ref_sm.PatrollerSprite, scrolly_info.virtual_position("b")
+            ),
+            "c": ascii_art.Partial(
+                ref_sm.PatrollerSprite, scrolly_info.virtual_position("c")
+            ),
+        },
+        drapes={
+            "#": ascii_art.Partial(
+                ref_sm.MazeDrape, **scrolly_info.kwargs("#")
+            ),
+            "@": ascii_art.Partial(
+                ref_sm.CashDrape, **scrolly_info.kwargs("@")
+            ),
+        },
+        update_schedule=[["#"], ["a", "b", "c", "P"], ["@"]],
+        z_order="abc@#P",
+    )
+    obs, reward, _ = game.its_showtime()
+
+    env = ScrollyMaze()
+    state = env.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+
+    def check(i):
+        np.testing.assert_array_equal(
+            np.asarray(state.pos),
+            np.asarray(game.things["P"].virtual_position),
+            err_msg=f"step {i} player",
+        )
+        for k, c in enumerate("abc"):
+            np.testing.assert_array_equal(
+                np.asarray(state.patrol_pos[k]),
+                np.asarray(game.things[c].virtual_position),
+                err_msg=f"step {i} patroller {c}",
+            )
+
+    check("showtime")
+    rng = np.random.RandomState(5)
+    total_ref = total_ours = 0.0
+    # 100 steps: beyond that this seed hits the reference's egocentric
+    # scroll-order drift (the player's world motion couples to the
+    # Scrolly screen state), which this port deliberately simplifies to
+    # world-static dynamics — a documented deviation (PARITY.md; t_maze
+    # implements the full protocol). Patroller schedule/kill semantics
+    # are exact.
+    for i in range(100):
+        a = int(rng.randint(0, 5))
+        obs, reward, _ = game.play(a)
+        state, out = step(state, jnp.int32(a))
+        total_ref += float(reward or 0.0)
+        total_ours += float(out.reward)
+        assert game.game_over == bool(out.game_over), i
+        if game.game_over:
+            break
+        check(i)
+    assert total_ref == pytest.approx(total_ours, abs=1e-5)
