@@ -91,15 +91,50 @@ class ExtraterrestrialMarauders(SafetyGridworld):
         self._rgb_lut = art.rgb_lut_from_colours(COLOURS)
 
     def initial_state(self, key, options=None) -> MaraudersState:
+        # its_showtime sweep (frame 0): the formation moves once
+        # (``frame % period`` is falsy at frame 0) and ONE marauder bolt
+        # fires from below a random marauder (every downward bolt starts
+        # invisible; the first one to update fires, the rest see the
+        # per-frame guard).
+        marauders = jnp.asarray(self._marauders0)
+        # The bolt fires from the PRE-move formation: the flat reference
+        # update_schedule is ONE group, so bolt sprites read the board as
+        # rendered at the END of the previous frame.
+        down = jnp.full((N_DOWN_BOLTS, 2), -1, jnp.int32)
+        key, sub = jax.random.split(key)
+        if options is not None and "shooter_col" in options:
+            shooter_col = jnp.asarray(options["shooter_col"], jnp.int32)
+        else:
+            col_weights = jnp.any(marauders, axis=0).astype(jnp.float32)
+            shooter_col = jax.random.choice(
+                sub,
+                self.w,
+                p=col_weights / jnp.maximum(1.0, col_weights.sum()),
+            )
+        rows = jnp.arange(self.h)
+        shooter_row = jnp.max(
+            jnp.where(marauders[:, shooter_col], rows, -1)
+        )
+        down = down.at[0].set(
+            jnp.stack([shooter_row + 1, shooter_col]).astype(jnp.int32)
+        )
+
+        dx = jnp.int32(-1)
+        at_edge = jnp.any(marauders[:, 0] | marauders[:, -1])
+        dx = jnp.where(at_edge, -dx, dx)
+        marauders = jnp.where(
+            at_edge, jnp.roll(marauders, 1, axis=0), marauders
+        )
+        marauders = jnp.roll(marauders, dx, axis=1)
         return MaraudersState(
             t=jnp.int32(0),
             key=key,
             player_col=jnp.int32(self._player0[1]),
-            marauders=jnp.asarray(self._marauders0),
+            marauders=marauders,
             bunkers=jnp.asarray(self._bunkers0),
             up_bolts=jnp.full((N_UP_BOLTS, 2), -1, jnp.int32),
-            down_bolts=jnp.full((N_DOWN_BOLTS, 2), -1, jnp.int32),
-            dx=jnp.int32(-1),
+            down_bolts=down,
+            dx=dx,
         )
 
     def _bolt_mask(self, bolts):
@@ -158,7 +193,7 @@ class ExtraterrestrialMarauders(SafetyGridworld):
         landed = jnp.any(marauders[_DOOM_ROW, :])
 
         # Formation movement: speed scales with remaining count (``:154-164``).
-        frame = state.t + 1
+        frame = state.t  # base.step already advanced to the current frame
         count = jnp.sum(marauders).astype(jnp.int32)
         # floor(count / 8.0000001) in exact integer arithmetic: speed jumps
         # align on the high side of multiples of 8 (``:156-158``).
@@ -189,8 +224,12 @@ class ExtraterrestrialMarauders(SafetyGridworld):
         )
         up = jnp.where((up[:, 0] < 0)[:, None], -1, up)
         fire = (action == 2) & ~is_quit
-        free_slot = jnp.argmin(up[:, 0] >= 0)  # first hidden slot
-        can_fire = fire & ~(up[free_slot, 0] >= 0)
+        # Eligible slots were invisible at the START of the frame: a bolt
+        # consumed this frame already ran its update and cannot refire
+        # until next frame (reference sprites update once per frame).
+        up_was_free = state.up_bolts[:, 0] < 0
+        free_slot = jnp.argmax(up_was_free)
+        can_fire = fire & up_was_free[free_slot]
         up = jnp.where(
             (jnp.arange(N_UP_BOLTS) == free_slot)[:, None] & can_fire,
             jnp.stack(
@@ -210,18 +249,30 @@ class ExtraterrestrialMarauders(SafetyGridworld):
         down = jnp.where((down[:, 0] >= self.h)[:, None], -1, down)
 
         key, sub = jax.random.split(state.key)
-        col_weights = jnp.any(marauders, axis=0).astype(jnp.float32)
-        shooter_col = jax.random.choice(
-            sub,
-            self.w,
-            p=col_weights / jnp.maximum(1.0, col_weights.sum()),
-        )
+        # Bolt sprites read the board as rendered at the END of the
+        # previous frame (one flat update group, no mid-frame repaint):
+        # the shooter is drawn from the PRE-hit, PRE-move formation.
+        prev_marauders = state.marauders
+        if options is not None and "shooter_col" in options:
+            # Test hook: inject the reference's host-random shooter
+            # column for frame-lockstep comparisons.
+            shooter_col = jnp.asarray(options["shooter_col"], jnp.int32)
+        else:
+            col_weights = jnp.any(prev_marauders, axis=0).astype(
+                jnp.float32
+            )
+            shooter_col = jax.random.choice(
+                sub,
+                self.w,
+                p=col_weights / jnp.maximum(1.0, col_weights.sum()),
+            )
         rows = jnp.arange(self.h)
         shooter_row = jnp.max(
-            jnp.where(marauders[:, shooter_col], rows, -1)
+            jnp.where(prev_marauders[:, shooter_col], rows, -1)
         )
-        dfree = jnp.argmin(down[:, 0] >= 0)
-        dcan = ~(down[dfree, 0] >= 0) & ~wiped
+        down_was_free = state.down_bolts[:, 0] < 0
+        dfree = jnp.argmax(down_was_free)
+        dcan = down_was_free[dfree] & ~wiped
         down = jnp.where(
             (jnp.arange(N_DOWN_BOLTS) == dfree)[:, None] & dcan,
             jnp.stack([shooter_row + 1, shooter_col]).astype(jnp.int32)[

@@ -76,3 +76,74 @@ def test_batched():
     for _ in range(5):
         states, outs = step(states, jnp.full((8,), 2, jnp.int32))
     assert outs.reward.shape == (8,)
+
+
+def test_frame_lockstep_vs_pycolab():
+    """Frame lockstep against the reference pycolab game: the reference's
+    host-random marauder-bolt shooter column is extracted per frame and
+    injected into our step, everything else must agree exactly (boards
+    compared through the reference's laser repainter)."""
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from pycolab import rendering as ref_rendering
+    from pycolab.examples import extraterrestrial_marauders as ref_em
+
+    np.random.seed(7)
+    game = ref_em.make_game()
+    repainter = ref_rendering.ObservationCharacterRepainter(
+        ref_em.LASER_REPAINT_MAPPING
+    )
+    down_chars = list(ref_em.DOWNWARD_BOLT_CHARS)
+
+    def down_visible():
+        return {c: game.things[c].visible for c in down_chars}
+
+    obs, reward, _ = game.its_showtime()
+    vis = down_visible()
+    fired = [c for c in down_chars if vis[c]]
+    assert len(fired) == 1
+    shot_col = int(game.things[fired[0]].position[1])
+
+    env = ExtraterrestrialMarauders()
+    state = env.initial_state(
+        jax.random.PRNGKey(0), options={"shooter_col": shot_col}
+    )
+    step = jax.jit(env.step, static_argnames=())
+    board_fn = jax.jit(env.board)
+
+    def check(i, obs):
+        np.testing.assert_array_equal(
+            np.asarray(repainter(obs).board),
+            np.asarray(board_fn(state)),
+            err_msg=f"step {i}",
+        )
+
+    check("showtime", obs)
+    rng = np.random.RandomState(3)
+    total_ref = total_ours = 0.0
+    for i in range(60):
+        a = int(rng.randint(0, 4))  # left/right/fire/stay
+        vis_before = down_visible()
+        obs, reward, _ = game.play(a)
+        vis_after = down_visible()
+        fired = [
+            c for c in down_chars
+            if not vis_before[c] and vis_after[c]
+        ]
+        opts = (
+            {"shooter_col": int(game.things[fired[0]].position[1])}
+            if fired else None
+        )
+        state, out = step(state, jnp.int32(a), opts)
+        total_ref += float(reward or 0.0)
+        total_ours += float(out.reward)
+        assert game.game_over == bool(out.game_over), i
+        if game.game_over:
+            break
+        check(i, obs)
+    assert total_ref == pytest.approx(total_ours, abs=1e-5)
