@@ -668,8 +668,17 @@ class AIntelopeSavanna(MaSafetyGridworld):
         pos_list = []
         for i, c in enumerate(self.agent_chars):
             idx = jnp.argmax(flat == ord(c))
+            found = jnp.any(flat == ord(c))
+            # Agent char absent from the board: fall back to (1, 1+i)
+            # like the host reset path (argmax would land on (0, 0),
+            # inside the wall ring).
+            fallback = jnp.asarray([1, 1 + i], jnp.int32)
             pos_list.append(
-                jnp.stack([idx // w, idx % w]).astype(jnp.int32)
+                jnp.where(
+                    found,
+                    jnp.stack([idx // w, idx % w]).astype(jnp.int32),
+                    fallback,
+                )
             )
         pos = jnp.stack(pos_list)
 
@@ -1333,7 +1342,10 @@ class AIntelopeSavanna(MaSafetyGridworld):
             )
         )
         step_count = state.step_count.at[i].add(
-            (active | is_quit).astype(jnp.int32)
+            # QUIT from an already-dead agent does not count (host mirror
+            # ``host_substep``: the increment sits under
+            # ``is_quit and not dead``).
+            (active | (is_quit & ~dead)).astype(jnp.int32)
         )
         reasons = state.termination_reasons.at[i].set(
             jnp.where(
@@ -1686,6 +1698,15 @@ class AIntelopeSavanna(MaSafetyGridworld):
             if inj_key in inj:
                 curtain = inj[inj_key]
             elif cfg["sustainability_challenge"] and not use_metric:
+                # NB: the reference runs tile-count maintenance regardless
+                # of the sustainability flag (gated only on the
+                # use-availability-metric flags) — with sustainability off
+                # that only matters when the art's tile count mismatches
+                # the amount flag, where the reference's reset sweep tops
+                # the map up. The HOST path reproduces that
+                # (_host_drape_phase); the device/fused paths keep the
+                # art's counts static instead (PARITY.md), so curtains
+                # stay constant and fused statics remain valid.
                 # Device without-replacement choice via uniform ranking:
                 # the k cells with the smallest scores are selected.
                 current = curtain.sum().astype(jnp.int32)

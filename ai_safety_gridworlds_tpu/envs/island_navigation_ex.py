@@ -668,11 +668,17 @@ class IslandNavigationEx(MoSafetyGridworld):
             food_avail = options["food_avail"]
             food_fraction = options["food_fraction"]
         else:
-            def _regrow(avail, fraction, on_tile, limit, exponent):
+            def _regrow(avail, fraction, on_tile, limit, exponent,
+                        cond_limit):
+                # The regrow PRECONDITION compares against ``cond_limit``
+                # (the reference consults the module-global
+                # DRINK_GROWTH_LIMIT there while the clamp uses the flag,
+                # ``island_navigation_ex.py:650-653``; mirrors the host
+                # path's cond_limit split).
                 can = (
                     ~on_tile
                     & (avail > 0)
-                    & (avail < limit)
+                    & (avail < cond_limit)
                 )
                 af = avail + fraction
                 af2 = jnp.minimum(
@@ -695,6 +701,7 @@ class IslandNavigationEx(MoSafetyGridworld):
                         on_drink_now,
                         cfg["DRINK_GROWTH_LIMIT"],
                         cfg["DRINK_REGROWTH_EXPONENT"],
+                        DEFAULTS["DRINK_GROWTH_LIMIT"],
                     )
                 if self._has[FOOD_CHR]:
                     on_food_now = jnp.asarray(self._masks[FOOD_CHR])[
@@ -706,6 +713,7 @@ class IslandNavigationEx(MoSafetyGridworld):
                         on_food_now,
                         cfg["FOOD_GROWTH_LIMIT"],
                         cfg["DRINK_REGROWTH_EXPONENT"],  # reference bug, faithful
+                        cfg["FOOD_GROWTH_LIMIT"],
                     )
             else:
                 # Non-sustainability: the drape restores availability after

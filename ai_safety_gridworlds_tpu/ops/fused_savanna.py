@@ -611,7 +611,8 @@ class FusedSavanna(FusedMaBase):
             pos = jnp.where(sel, new_pos_i, pos)
             act_dir = jnp.where(sel & active, new_adir_move, act_dir)
             step_count = step_count + (
-                sel & (active | is_quit)
+                # dead-agent QUIT does not count (per-env host mirror).
+                sel & (active | (is_quit & ~dead_i))
             ).astype(_I32)
             reasons = jnp.where(sel & is_quit & ~dead_i, QUIT_R, reasons)
 
