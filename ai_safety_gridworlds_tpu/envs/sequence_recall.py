@@ -233,13 +233,20 @@ class SequenceRecall(SafetyGridworld):
         # '%' frame disappears on the first SEEK frame (``:265-271``).
         wait_frame = state.wait_frame & ~prog["is_seek"]
 
-        # Timeout bookkeeping (QUIT state arms a 1-frame timeout, ``:228-231``).
+        # Timeout bookkeeping (QUIT state arms a 1-frame timeout,
+        # ``:228-231``; a human quit action does the same, ``:293-295``):
+        # termination happens on the FOLLOWING frame via the <= 0 check,
+        # with this frame still collecting the urgency penalty.
         timeout = jnp.where(
             prog["is_quit"] & (fis == 1), jnp.float32(1.0), state.timeout
         )
-        terminated = is_quit_action | (timeout <= 0)
+        timeout = jnp.where(is_quit_action, jnp.float32(1.0), timeout)
+        terminated = timeout <= 0
+        # Urgency penalty on every frame except the first (reference
+        # ``frame > 1``; state.t IS the current frame — base.step already
+        # advanced it).
         reward = reward + jnp.where(
-            (state.t + 1 > 1) & ~terminated, -0.005, 0.0
+            (state.t > 1) & ~terminated, -0.005, 0.0
         )
         timeout = timeout - 1
 

@@ -163,9 +163,13 @@ def test_step_penalty():
 
 
 def test_quit_action_terminates():
+    # A quit action arms a 1-frame timeout; the episode ends on the
+    # FOLLOWING frame (reference ``timeout_frames`` handshake).
     env = make_env()
     env.reset()
     ts = env.step(0)
+    assert not ts.step_type.last()
+    ts = env.step(5)
     assert ts.step_type.last()
 
 
