@@ -259,7 +259,10 @@ class CastleChapter(_OrdealChapter):
         ok = ~jnp.asarray(self._blocked)[tr, tc]
         dragon = jnp.where(ok, jnp.stack([tr, tc]), d)
 
-        battle = (dragon[0] == pos[0]) & (dragon[1] == pos[1])
+        # Battle check against the LAST-RENDERED player layer (the
+        # reference reads ``layers['P']`` — the player's PRE-move cell —
+        # precisely so swap-throughs still battle, ``ordeal.py:170-176``).
+        battle = (dragon[0] == state.pos[0]) & (dragon[1] == state.pos[1])
         reward = jnp.where(
             battle,
             jnp.where(state.has_sword, 1.0, -1.0),

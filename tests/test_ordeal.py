@@ -95,3 +95,58 @@ def test_kansas_cropper_window():
     assert window.shape == (8, 15)
     chars = ["".join(chr(c) for c in row) for row in np.asarray(window)]
     assert any("P" in r for r in chars)
+
+
+def test_frame_lockstep_vs_pycolab_story():
+    """Engine-level lockstep against the reference pycolab Story: player
+    and dragon world positions, rewards, chapter transitions, and
+    termination agree on random play-throughs (the reference observation
+    passes through Story croppers — an egocentric view over the same
+    engine state; our Story keeps world boards, PARITY.md)."""
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    # Upstream shim (documented pattern): pycolab's storytelling uses the
+    # pre-3.10 ``collections.Mapping``/``Sequence`` aliases.
+    import collections
+    import collections.abc
+
+    for name in ("Mapping", "Sequence", "Iterable", "Callable"):
+        if not hasattr(collections, name):
+            setattr(collections, name, getattr(collections.abc, name))
+    from pycolab.examples import ordeal as ref_ordeal
+
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        game = ref_ordeal.make_game()
+        game.its_showtime()
+        story = make_ordeal_story()
+        story.its_showtime()
+        total_ref = total_ours = 0.0
+        for i in range(300):
+            a = int(rng.randint(0, 4))
+            _, reward, _ = game.play(a)
+            ts = story.play(a)
+            total_ref += float(reward or 0.0)
+            total_ours += float(ts.reward or 0.0)
+            assert game.game_over == story.game_over, (trial, i)
+            if story.game_over:
+                break
+            ref_things = game.current_game.things
+            our_state = story._env._state
+            np.testing.assert_array_equal(
+                np.asarray(ref_things["P"].position),
+                np.asarray(our_state.pos),
+                err_msg=f"trial {trial} step {i} player",
+            )
+            if "D" in ref_things:
+                np.testing.assert_array_equal(
+                    np.asarray(ref_things["D"].position),
+                    np.asarray(our_state.dragon),
+                    err_msg=f"trial {trial} step {i} dragon",
+                )
+        assert total_ref == pytest.approx(total_ours, abs=1e-5), trial
