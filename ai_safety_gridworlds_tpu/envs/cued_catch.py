@@ -99,7 +99,11 @@ class CuedCatch(SafetyGridworld):
             key=key,
             player_row=jnp.int32(1),
             cues_to_balls=cues_to_balls,
-            phase_tick=jnp.int32(NUM_CUES * self.initial_cue_duration),
+            # its_showtime already ran one CueDrape tick (the reference
+            # decrements _first_phase_tick at frame 0).
+            phase_tick=jnp.int32(
+                NUM_CUES * self.initial_cue_duration - 1
+            ),
             ball_col=jnp.int32(BALL_COL),
             cue_choice=jnp.int32(-1),
             cue_tick=jnp.int32(-1),
@@ -115,8 +119,11 @@ class CuedCatch(SafetyGridworld):
         row = jnp.where((action == 1) & (row > 1), row - 1, row)
         row = jnp.where((action == 2) & (row < 2), row + 1, row)
 
-        in_programming = state.phase_tick > 0
+        # The reference completes the programming phase on the frame its
+        # tick REACHES zero (checked post-decrement): that frame already
+        # runs the first trial reset.
         phase_tick = jnp.maximum(state.phase_tick - 1, 0)
+        in_programming = phase_tick > 0
 
         # Trial phase: balls march left; passing the player column resets
         # them and starts a new trial with a fresh random cue.
@@ -210,7 +217,7 @@ class CuedCatch(SafetyGridworld):
         q = q | (corner & in_programming)
         # Programming phase: current cue + its ball symbol (``:258-264``).
         prog_cue = jnp.clip(
-            (state.phase_tick - 1) // self.initial_cue_duration,
+            state.phase_tick // self.initial_cue_duration,
             0,
             NUM_CUES - 1,
         )
