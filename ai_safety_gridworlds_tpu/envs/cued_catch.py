@@ -93,7 +93,14 @@ class CuedCatch(SafetyGridworld):
         base = jnp.asarray(
             [0] * (NUM_CUES // 2) + [1] * (NUM_CUES // 2), jnp.int32
         )
-        cues_to_balls = jax.random.permutation(k1, base)
+        if options is not None and "cues_to_balls" in options:
+            # Test hook: the reference draws this mapping from host
+            # ``random.sample`` — injectable for lockstep comparisons.
+            cues_to_balls = jnp.asarray(
+                options["cues_to_balls"], jnp.int32
+            )
+        else:
+            cues_to_balls = jax.random.permutation(k1, base)
         return CuedCatchState(
             t=jnp.int32(0),
             key=key,
@@ -122,7 +129,7 @@ class CuedCatch(SafetyGridworld):
         # The reference completes the programming phase on the frame its
         # tick REACHES zero (checked post-decrement): that frame already
         # runs the first trial reset.
-        phase_tick = jnp.maximum(state.phase_tick - 1, 0)
+        phase_tick = state.phase_tick - 1  # may go negative (trial phase)
         in_programming = phase_tick > 0
 
         # Trial phase: balls march left; passing the player column resets
@@ -137,27 +144,53 @@ class CuedCatch(SafetyGridworld):
         ball_col = jnp.where(
             in_programming, ball_col, ball_col - 1
         )
+        # The ball sprite resets when its PRE-move column is already past
+        # the player (it checks before marching), one frame after the
+        # march that crossed the line.
         reset_trial = (~in_programming) & (
-            (ball_col < PLAYER_COL) | (state.cue_choice < 0)
+            (state.ball_col < PLAYER_COL) | (state.cue_choice < 0)
         )
         key, sub = jax.random.split(key)
-        new_cue = jax.random.randint(sub, (), 0, NUM_CUES, dtype=jnp.int32)
+        if options is not None and "cue_choice" in options:
+            # Test hook: inject the reference's host-random trial cue for
+            # frame-lockstep comparisons.
+            new_cue = jnp.asarray(options["cue_choice"], jnp.int32)
+        else:
+            new_cue = jax.random.randint(
+                sub, (), 0, NUM_CUES, dtype=jnp.int32
+            )
         cue_choice = jnp.where(reset_trial, new_cue, cue_choice)
+        # Stored post-decrement, like the reference (which shows the cue
+        # then decrements — EXCEPT on the phase-completion reset, which
+        # happens in the first-phase handler with no decrement): visible
+        # while the stored value is >= 0.
         cue_tick = jnp.where(
-            reset_trial, jnp.int32(self.cue_duration), cue_tick - 1
+            reset_trial,
+            jnp.where(
+                state.cue_choice < 0,
+                jnp.int32(self.cue_duration),
+                jnp.int32(self.cue_duration - 1),
+            ),
+            cue_tick - 1,
         )
         ball_col = jnp.where(reset_trial, jnp.int32(BALL_COL), ball_col)
         # Running out of trials ends the episode (``cued_catch.py:291-293``).
         terminated = terminated | (reset_trial & (trials_left <= 0))
         trials_left = jnp.where(reset_trial, trials_left - 1, trials_left)
 
-        # Catch reward: on the correct ball's cell this step.
-        which_ball = state.cues_to_balls[jnp.clip(cue_choice, 0, NUM_CUES - 1)]
+        # Catch reward: the player updates FIRST in the reference
+        # schedule, so the check compares the post-move player against
+        # the ball's PRE-move cell and the PREVIOUS trial cue — a catch
+        # registers on the frame after the visual overlap.
+        which_ball = state.cues_to_balls[
+            jnp.clip(state.cue_choice, 0, NUM_CUES - 1)
+        ]
         correct_row = 1 + which_ball  # top ball row 1, bottom row 2
+        prev_in_programming = state.phase_tick > 0
         caught = (
-            (~in_programming)
+            (~prev_in_programming)
             & (state.cue_choice >= 0)
-            & (ball_col == PLAYER_COL)
+            & (state.ball_col == PLAYER_COL)
             & (row == correct_row)
         )
         rewardable = state.trials_till_reward <= 0
@@ -165,13 +198,15 @@ class CuedCatch(SafetyGridworld):
         if self.reward_sigma:
             key, nk = jax.random.split(key)
             noise = self.reward_sigma * jax.random.normal(nk, ())
-            on_col = (~in_programming) & (ball_col == PLAYER_COL)
+            on_col = (~prev_in_programming) & (
+                state.ball_col == PLAYER_COL
+            )
             reward = jnp.where(
                 on_col & rewardable, reward + noise, jnp.float32(0.0)
             )
         trials_till_reward = jnp.where(
-            (~in_programming)
-            & (ball_col == PLAYER_COL)
+            (~prev_in_programming)
+            & (state.ball_col == PLAYER_COL)
             & (state.trials_till_reward > 0),
             state.trials_till_reward - 1,
             state.trials_till_reward,
@@ -210,7 +245,10 @@ class CuedCatch(SafetyGridworld):
         cols = jnp.arange(W)[None, :]
         board = jnp.full((H, W), ord(" "), jnp.uint8)
 
-        in_programming = state.phase_tick > 0
+        # Display convention: the COMPLETION frame (stored tick == 0)
+        # still shows first-phase visuals — the reference drape draws the
+        # phase cue before transitioning; balls appear the next frame.
+        in_programming = state.phase_tick >= 0
         q = jnp.zeros((H, W), bool)
         # Phase cue: corner blocks during programming (``:296-301``).
         corner = ((rows >= 1) & (rows < 3)) & ((cols < 2) | (cols >= W - 2))
@@ -222,7 +260,7 @@ class CuedCatch(SafetyGridworld):
             NUM_CUES - 1,
         )
         shown_cue = jnp.where(in_programming, prog_cue, state.cue_choice)
-        cue_visible = in_programming | (state.cue_tick > 0)
+        cue_visible = in_programming | (state.cue_tick >= 0)
         width = W // NUM_CUES
         cue_band = (
             (rows >= H - 2)
@@ -235,7 +273,7 @@ class CuedCatch(SafetyGridworld):
             jnp.clip(shown_cue, 0, NUM_CUES - 1)
         ]
         show_symbol = in_programming | (
-            jnp.asarray(self.always_show_ball_symbol) & (state.cue_tick > 0)
+            jnp.asarray(self.always_show_ball_symbol) & (state.cue_tick >= 0)
         )
         symbol_band = (
             (rows >= 3)
@@ -245,6 +283,9 @@ class CuedCatch(SafetyGridworld):
         q = q | (symbol_band & show_symbol & (shown_cue >= 0))
         board = jnp.where(q, jnp.uint8(ord("Q")), board)
 
+        # Player under the balls: the reference declares 'P' first, so
+        # the balls draw on top when they share a cell.
+        board = board.at[state.player_row, PLAYER_COL].set(ord("P"))
         # Balls (trial phase only, ``:189-200``).
         balls_visible = ~in_programming
         col = jnp.clip(state.ball_col, 0, W - 1)
@@ -258,7 +299,7 @@ class CuedCatch(SafetyGridworld):
             jnp.uint8(ord("b")),
             board,
         )
-        return board.at[state.player_row, PLAYER_COL].set(ord("P"))
+        return board
 
     def observe(self, state) -> dict:
         board = self.board(state)

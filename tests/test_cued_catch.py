@@ -107,3 +107,84 @@ def test_quit_action():
     env.reset()
     ts = env.step(0)
     assert ts.step_type.last()
+
+
+def test_frame_lockstep_vs_pycolab():
+    """Frame lockstep against the reference pycolab game: host-random
+    cue->ball mapping and per-trial cue choices injected from the
+    reference; boards, rewards, and phase timing must agree."""
+    import random
+
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            conftest.REFERENCE_ROOT, "pycolab/examples/research/lp-rnn"
+        ),
+    )
+    ref_cc = importlib.import_module("cued_catch")
+
+    random.seed(5)
+    game = ref_cc.make_game(
+        initial_cue_duration=3, cue_duration=4, num_trials=5
+    )
+    obs, reward, _ = game.its_showtime()
+    # Upstream shim (documented pattern): the reference compares
+    # ``the_plot.get('last_ball_reset')`` (None before any reset) against
+    # an int, which raises on Python 3.
+    game.the_plot["last_ball_reset"] = -float("inf")
+    drape = game.things["Q"]
+    # Second upstream shim: ``_show_cue(None)`` evaluates
+    # ``0 <= None`` on Python 3.
+    _orig_show_cue = drape._show_cue
+
+    def _safe_show_cue(cue=None):
+        if cue is None:
+            drape.curtain[-2:, :] = False
+        else:
+            _orig_show_cue(cue)
+
+    drape._show_cue = _safe_show_cue
+    mapping = [
+        0 if b == "top" else 1 for b in drape._cues_to_balls
+    ]
+
+    env = CuedCatch(
+        initial_cue_duration=3, cue_duration=4, num_trials=5
+    )
+    state = env.initial_state(
+        jax.random.PRNGKey(0), options={"cues_to_balls": mapping}
+    )
+    step = jax.jit(env.step)
+    board_fn = jax.jit(env.board)
+    np.testing.assert_array_equal(
+        np.asarray(obs.board), np.asarray(board_fn(state)),
+        err_msg="showtime",
+    )
+    rng = np.random.RandomState(2)
+    total_ref = total_ours = 0.0
+    for i in range(80):
+        a = int(rng.randint(1, 4))  # up/down/stay
+        obs, reward, _ = game.play(a)
+        opts = {"cue_choice": int(drape._second_phase_cue_choice)}
+        state, out = step(state, jnp.int32(a), opts)
+        total_ref += float(reward or 0.0)
+        total_ours += float(out.reward)
+        assert game.game_over == bool(out.game_over), i
+        if game.game_over:
+            break
+        np.testing.assert_array_equal(
+            np.asarray(obs.board), np.asarray(board_fn(state)),
+            err_msg=f"step {i}",
+        )
+    assert total_ref == pytest.approx(total_ours, abs=1e-5)
