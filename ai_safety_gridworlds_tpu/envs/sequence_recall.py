@@ -148,9 +148,14 @@ class SequenceRecall(SafetyGridworld):
 
     def initial_state(self, key, options=None) -> SequenceRecallState:
         key, sub = jax.random.split(key)
-        sequence = jax.random.randint(
-            sub, (self.sequence_length,), 0, 4, dtype=jnp.int32
-        )
+        if options is not None and "sequence" in options:
+            # Test hook: inject the reference's host-random light
+            # sequence for frame-lockstep comparisons.
+            sequence = jnp.asarray(options["sequence"], jnp.int32)
+        else:
+            sequence = jax.random.randint(
+                sub, (self.sequence_length,), 0, 4, dtype=jnp.int32
+            )
         timeout = (
             jnp.float32(np.inf)
             if self.timeout_frames < 0
@@ -162,7 +167,9 @@ class SequenceRecall(SafetyGridworld):
             pos=jnp.asarray(self._player0),
             sequence=sequence,
             program_idx=jnp.int32(0),
-            frames_in_state=jnp.int32(0),
+            # its_showtime already ran one update sweep: the first OFF
+            # state has counted a frame (entry happened at frame 0).
+            frames_in_state=jnp.int32(1),
             lit=jnp.zeros((4,), bool),
             wait_frame=jnp.asarray(True),
             timeout=timeout,
@@ -184,11 +191,11 @@ class SequenceRecall(SafetyGridworld):
         target = state.pos + delta
         tr = jnp.clip(target[0], 0, self.h - 1)
         tc = jnp.clip(target[1], 0, self.w - 1)
-        # The '%' frame blocks only while its curtain is still up: it clears
-        # on the first SEEK frame, after which those cells are passable.
-        blocked = jnp.asarray(self._wall)[tr, tc] | (
-            jnp.asarray(self._frame_mask)[tr, tc] & state.wait_frame
-        )
+        # Only '#' blocks: the '%' frame is a drape, and MazeWalker's
+        # impassable set is ``'#'`` alone (``:284-285``) — on the first
+        # SEEK frame the player can walk through the still-displayed
+        # frame (movement is frozen outside SEEK/EXIT anyway).
+        blocked = jnp.asarray(self._wall)[tr, tc]
         pos = jnp.where(
             can_move & ~blocked & ~is_quit_action,
             jnp.stack([tr, tc]),
@@ -209,8 +216,15 @@ class SequenceRecall(SafetyGridworld):
             lit.at[prog["demo_light"]].set(True),
             lit,
         )
-        # OFF/ON completion by duration.
-        timed = (prog["is_off"] | prog["is_on"]) & (fis >= prog["duration"])
+        # OFF/ON completion by duration. The reference checks completion
+        # in an ``elif`` after the entry branch (``sequence_recall.py:
+        # 234-245``): the entry frame (fis == 1) can never complete, so a
+        # duration-1 state still occupies two frames.
+        timed = (
+            (prog["is_off"] | prog["is_on"])
+            & (fis >= prog["duration"])
+            & (fis > 1)
+        )
 
         # SEEK: entering any light pad resolves the turn.
         over = jnp.asarray(self._light_at)[pos[0], pos[1]]
@@ -233,14 +247,16 @@ class SequenceRecall(SafetyGridworld):
         # '%' frame disappears on the first SEEK frame (``:265-271``).
         wait_frame = state.wait_frame & ~prog["is_seek"]
 
-        # Timeout bookkeeping (QUIT state arms a 1-frame timeout,
-        # ``:228-231``; a human quit action does the same, ``:293-295``):
-        # termination happens on the FOLLOWING frame via the <= 0 check,
-        # with this frame still collecting the urgency penalty.
+        # Timeout bookkeeping. PlayerSprite updates BEFORE MaskDrape in
+        # the reference schedule (``update_schedule=['P','M','%']``,
+        # ``:147-148``): the termination check, urgency penalty, and
+        # countdown all use the PRE-frame timeout (with a human quit
+        # overwriting it first, ``:292-294``); the QUIT state's fis==1
+        # reset (``:229-231``) then OVERWRITES the decremented value — so
+        # QUIT collects two penalty frames and terminates on the third.
         timeout = jnp.where(
-            prog["is_quit"] & (fis == 1), jnp.float32(1.0), state.timeout
+            is_quit_action, jnp.float32(1.0), state.timeout
         )
-        timeout = jnp.where(is_quit_action, jnp.float32(1.0), timeout)
         terminated = timeout <= 0
         # Urgency penalty on every frame except the first (reference
         # ``frame > 1``; state.t IS the current frame — base.step already
@@ -249,6 +265,9 @@ class SequenceRecall(SafetyGridworld):
             (state.t > 1) & ~terminated, -0.005, 0.0
         )
         timeout = timeout - 1
+        timeout = jnp.where(
+            prog["is_quit"] & (fis == 1), jnp.float32(1.0), timeout
+        )
 
         state = state.replace(
             pos=pos,

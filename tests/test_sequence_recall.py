@@ -22,8 +22,14 @@ def make_env(**kw):
 
 
 def demo_steps(env):
+    # A duration-d OFF/ON state occupies max(d, 2) frames: the entry
+    # frame never completes (reference ``elif`` completion check). The
+    # first OFF already counted its showtime tick, hence the -1.
     g = env._game
-    return g.sequence_length * (g.off_frames + g.on_frames) + g.pause_frames
+    eff = lambda d: max(d, 2)
+    return g.sequence_length * (
+        eff(g.off_frames) + eff(g.on_frames)
+    ) + eff(g.pause_frames) - 1
 
 
 def bfs_actions(board_chars, start, target_pred, passable=None):
@@ -182,3 +188,132 @@ def test_timeout_frames():
         if ts.step_type.last():
             break
     assert ts.step_type.last()
+
+
+def test_frame_lockstep_vs_pycolab():
+    """Frame lockstep against the reference pycolab game: the reference's
+    host-random light sequence is injected; boards, rewards, timing, and
+    termination must agree across random action streams."""
+    import importlib
+    import os
+    import random
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    sys.path.insert(
+        0,
+        os.path.join(
+            conftest.REFERENCE_ROOT, "pycolab/examples/research/lp-rnn"
+        ),
+    )
+    ref_sr = importlib.import_module("sequence_recall")
+
+    # Upstream shims (documented pattern): the reference MaskDrape uses
+    # ``np.bool`` (removed in numpy 1.24) and boolean ``-=`` (removed in
+    # numpy 1.13+ semantics enforced by numpy 2).
+    def _patched_set_up_masks(self, backdrop):
+        self._all_off_mask = np.zeros_like(backdrop.curtain, dtype=bool)
+        for g in "1234":
+            mask = backdrop.curtain == backdrop.palette[g]
+            self._mask_for_light[g] = mask
+            self._all_off_mask |= mask
+
+    _orig_update = ref_sr.MaskDrape.update
+
+    def _patched_update(self, actions, board, layers, backdrop, things,
+                        the_plot):
+        if self._all_off_mask is None:
+            self._set_up_masks(backdrop)
+        state_ = the_plot["program"][0][0]
+        args = the_plot["program"][0][1:]
+        the_plot["frames_in_state"] += 1
+        fis = the_plot["frames_in_state"]
+        S = ref_sr._State
+        pos = things["P"].position
+        if state_ == S.QUIT:
+            if fis == 1:
+                the_plot["timeout_frames"] = 1
+        elif state_ == S.OFF:
+            if fis == 1:
+                self.curtain[:] |= self._all_off_mask
+            elif fis >= args[0]:
+                the_plot["program"].pop(0)
+                the_plot["frames_in_state"] = 0
+        elif state_ == S.ON:
+            if fis == 1:
+                self.curtain[:] &= ~self._mask_for_light[args[1]]
+            elif fis >= args[0]:
+                the_plot["program"].pop(0)
+                the_plot["frames_in_state"] = 0
+        elif state_ == S.SEEK:
+            agent_above = chr(backdrop.curtain[pos])
+            if agent_above != " ":
+                self.curtain[:] &= ~self._mask_for_light[agent_above]
+                the_plot.add_reward(
+                    1.0 if agent_above == args[0] else 0.0
+                )
+                the_plot["program"].pop(0)
+                the_plot["frames_in_state"] = 0
+        elif state_ == S.EXIT:
+            agent_above = chr(backdrop.curtain[pos])
+            if agent_above == " ":
+                self.curtain[:] |= self._all_off_mask
+                the_plot["program"].pop(0)
+                the_plot["frames_in_state"] = 0
+
+    ref_sr.MaskDrape._set_up_masks = _patched_set_up_masks
+    ref_sr.MaskDrape.update = _patched_update
+
+    for seed in (1, 4):
+        random.seed(seed)
+        kw = dict(
+            sequence_length=2,
+            demo_light_on_frames=2,
+            demo_light_off_frames=1,
+            pause_frames=1,
+            timeout_frames=40,
+        )
+        game = ref_sr.make_game(**kw)
+        obs, reward, _ = game.its_showtime()
+        # The reference program embeds the sampled light sequence as the
+        # ON states' light ids ('1'..'4').
+        seq = [
+            int(s[2]) - 1
+            for s in game.the_plot["program"]
+            if s[0] == ref_sr._State.ON
+        ]
+        assert len(seq) == 2
+        env = SequenceRecall(**kw)
+        state = env.initial_state(
+            jax.random.PRNGKey(0), options={"sequence": seq}
+        )
+        step = jax.jit(env.step)
+        board_fn = jax.jit(env.board)
+        np.testing.assert_array_equal(
+            np.asarray(obs.board), np.asarray(board_fn(state)),
+            err_msg=f"seed {seed} showtime",
+        )
+        rng = np.random.RandomState(seed)
+        total_ref = total_ours = 0.0
+        for i in range(45):
+            a = int(rng.randint(1, 6))
+            obs, reward, _ = game.play(a)
+            state, out = step(state, jnp.int32(a))
+            total_ref += float(reward or 0.0)
+            total_ours += float(out.reward)
+            assert game.game_over == bool(out.game_over), (seed, i)
+            if game.game_over:
+                break
+            np.testing.assert_array_equal(
+                np.asarray(obs.board), np.asarray(board_fn(state)),
+                err_msg=f"seed {seed} step {i}",
+            )
+        assert total_ref == pytest.approx(total_ours, abs=1e-5), seed
