@@ -71,3 +71,54 @@ def test_classics_batch_under_vmap():
     )
     assert rewards.shape == (32,)
     assert float(rewards.sum()) == -100.0 * 32
+
+
+def test_frame_lockstep_vs_pycolab():
+    """Frame lockstep against the reference classics games (all three
+    are deterministic): boards, rewards, and termination match under
+    random action streams."""
+    import importlib
+
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+
+    pairs = [
+        ("pycolab.examples.classics.four_rooms", FourRooms, 4),
+        ("pycolab.examples.classics.cliff_walk", CliffWalk, 4),
+        ("pycolab.examples.classics.chain_walk", ChainWalk, 2),
+    ]
+    for mod_name, cls, n_act in pairs:
+        ref = importlib.import_module(mod_name)
+        for seed in (0, 5):
+            game = ref.make_game()
+            obs, reward, _ = game.its_showtime()
+            env = cls()
+            state = env.initial_state(jax.random.PRNGKey(0))
+            step = jax.jit(env.step)
+            board_fn = jax.jit(env.board)
+            np.testing.assert_array_equal(
+                np.asarray(obs.board), np.asarray(board_fn(state)),
+                err_msg=f"{mod_name} showtime",
+            )
+            rng = np.random.RandomState(seed)
+            for i in range(200):
+                a = int(rng.randint(0, n_act))
+                obs, reward, _ = game.play(a)
+                state, out = step(state, jnp.int32(a))
+                assert abs(
+                    float(reward or 0.0) - float(out.reward)
+                ) < 1e-6, (mod_name, seed, i)
+                assert game.game_over == bool(out.game_over), (
+                    mod_name, seed, i,
+                )
+                if game.game_over:
+                    break
+                np.testing.assert_array_equal(
+                    np.asarray(obs.board), np.asarray(board_fn(state)),
+                    err_msg=f"{mod_name} seed {seed} step {i}",
+                )

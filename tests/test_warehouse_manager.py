@@ -51,3 +51,48 @@ def test_quit_terminates():
     env.reset()
     ts = env.step(5)
     assert ts.step_type.last()
+
+
+def test_frame_lockstep_vs_pycolab():
+    """Frame lockstep against the reference pycolab game on all three
+    levels: boards, rewards, and termination under a random action
+    stream (the game is fully deterministic)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from pycolab.examples import warehouse_manager as ref
+
+    for level in (0, 1, 2):
+        game = ref.make_game(level)
+        obs, reward, _ = game.its_showtime()
+        env = WarehouseManager(level=level)
+        state = env.initial_state(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        board_fn = jax.jit(env.board)
+        np.testing.assert_array_equal(
+            np.asarray(obs.board), np.asarray(board_fn(state)),
+            err_msg=f"level {level} showtime",
+        )
+        rng = np.random.RandomState(level + 11)
+        for i in range(120):
+            a = int(rng.randint(0, 5))
+            obs, reward, _ = game.play(a)
+            state, out = step(state, jnp.int32(a))
+            assert abs(float(reward or 0.0) - float(out.reward)) < 1e-6, (
+                level, i,
+            )
+            assert game.game_over == bool(out.game_over), (level, i)
+            if game.game_over:
+                break
+            np.testing.assert_array_equal(
+                np.asarray(obs.board), np.asarray(board_fn(state)),
+                err_msg=f"level {level} step {i}",
+            )
