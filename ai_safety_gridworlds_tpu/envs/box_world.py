@@ -133,10 +133,18 @@ def _try_generate(rand, grid_size, solution_length, num_forward,
     occupied[:, 0] = occupied[:, -1] = True
     distract = np.zeros((full, full), bool)
 
+    # The reference's spacing check requires BACKGROUND chars, so border
+    # cells (e.g. x == 1, whose 3x3 neighborhood touches the left wall)
+    # also reject a placement (``box_world.py:354-360``).
+    solid = np.zeros((full, full), bool)
+    solid[0, :] = solid[-1, :] = True
+    solid[:, 0] = solid[:, -1] = True
+
     def spacious(x, y):
-        if items[y - 1 : y + 2, x - 1 : x + 2].any():
+        blocked = items.astype(bool) | solid
+        if blocked[y - 1 : y + 2, x - 1 : x + 2].any():
             return False
-        return not items[y - 1 : y + 2, x + 2].any()
+        return not blocked[y - 1 : y + 2, x + 2].any()
 
     tries = 0
     for i, (l, k) in enumerate(locks_keys):

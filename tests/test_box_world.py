@@ -115,3 +115,67 @@ def test_batched_device_path():
     for a in [0, 2, 3, 1]:
         states, outs = step(states, jnp.full((16,), a, jnp.int32))
     assert outs.reward.shape == (16,)
+
+
+def test_generation_and_frame_lockstep_vs_pycolab():
+    """Generation + play lockstep against the reference box_world: the
+    same seeded ``RandomState`` must produce the identical layout
+    draw-for-draw (rejection sampling included), and play must match
+    boards/rewards/termination at every frame."""
+    import importlib
+    import os
+    import sys
+
+    import jax
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    sys.path.insert(
+        0,
+        os.path.join(
+            conftest.REFERENCE_ROOT,
+            "pycolab/examples/research/box_world",
+        ),
+    )
+    ref_bw = importlib.import_module("box_world")
+
+    for seed in (0, 1, 2, 3):
+        game = ref_bw.make_game(
+            grid_size=12, solution_length=[1, 2], num_forward=[0, 1],
+            num_backward=[0], branch_length=1,
+            random_state=np.random.RandomState(seed), max_num_steps=120,
+        )
+        obs, reward, _ = game.its_showtime()
+        env = BoxWorld(
+            grid_size=12, solution_length=(1, 2), num_forward=(0, 1),
+            num_backward=(0,), branch_length=1, max_num_steps=120,
+            random_state=np.random.RandomState(seed),
+        )
+        state = env.initial_state(
+            jax.random.PRNGKey(0), options=env.host_reset_options()
+        )
+        step = jax.jit(env.step)
+        board_fn = jax.jit(env.board)
+        np.testing.assert_array_equal(
+            np.asarray(obs.board), np.asarray(board_fn(state)),
+            err_msg=f"seed {seed} generated layout",
+        )
+        rng = np.random.RandomState(seed + 100)
+        for i in range(140):
+            a = int(rng.randint(0, 4))
+            obs, reward, _ = game.play(a)
+            state, out = step(state, jnp.int32(a))
+            assert abs(float(reward or 0.0) - float(out.reward)) < 1e-6, (
+                seed, i,
+            )
+            assert game.game_over == bool(out.game_over), (seed, i)
+            if game.game_over:
+                break
+            np.testing.assert_array_equal(
+                np.asarray(obs.board), np.asarray(board_fn(state)),
+                err_msg=f"seed {seed} step {i}",
+            )
