@@ -152,7 +152,7 @@ def emit(name, spread, extra=None, batch=BATCH):
     return line
 
 
-def _append_history(lines):
+def _append_history(lines, device=None):
     try:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
@@ -160,10 +160,11 @@ def _append_history(lines):
         ).stdout.strip()
     except Exception:
         commit = None
-    try:
-        device = str(jax.devices()[0])
-    except Exception as e:  # backend down — keep the history record
-        device = f"unavailable ({type(e).__name__})"
+    if device is None:
+        # NEVER call jax.devices() here in the parent: with the remote
+        # backend down it blocks uninterruptibly instead of raising.
+        # Callers pass the device string captured by the probe/worker.
+        device = "unknown"
     record = {
         "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "commit": commit or "unknown",
@@ -364,6 +365,50 @@ def main():
     import signal
     import sys
 
+    # Fast-fail probe: when the remote TPU backend is DOWN, device init
+    # blocks indefinitely — without this the parent would sit out the
+    # full worker timeout before falling back to the stale headline.
+    device_str = "unknown"
+    try:
+        probe = subprocess.run(
+            [
+                sys.executable, "-c",
+                "import jax; jax.numpy.zeros(8).block_until_ready(); "
+                "print(jax.devices()[0])",
+            ],
+            timeout=180, check=True,
+            capture_output=True, text=True,
+        )
+        device_str = probe.stdout.strip() or "unknown"
+        backend_up = True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        backend_up = False
+        device_str = "unavailable (backend down)"
+        print(
+            "TPU backend unreachable (probe failed in 180s) — skipping "
+            "the measurement worker, emitting the last good headline as "
+            "stale",
+            file=sys.stderr, flush=True,
+        )
+    if not backend_up:
+        lines = []
+        results = {}
+        headline, last_results = _last_good_headline()
+        if headline is not None:
+            headline = dict(headline, stale=True)
+            results = dict(last_results)
+        else:
+            headline = {
+                "metric": f"env_steps_per_sec_firemaker_ex_ma_b{BATCH}",
+                "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+                "error": "backend down and no bench history",
+            }
+        final = dict(headline)
+        final["configs"] = results
+        print(json.dumps(final), flush=True)
+        _append_history(lines + [final], device=device_str)
+        return
+
     proc = subprocess.Popen(
         [sys.executable, "-u", os.path.abspath(__file__), "--worker"],
         stdout=subprocess.PIPE,
@@ -446,7 +491,7 @@ def main():
     final = dict(headline)
     final["configs"] = results
     print(json.dumps(final), flush=True)
-    _append_history(lines + [final])
+    _append_history(lines + [final], device=device_str)
 
 
 if __name__ == "__main__":
