@@ -3,18 +3,10 @@
 The production compute path is the fully-fused multi-agent step kernels
 (:mod:`.fused_firemaker`, :mod:`.fused_savanna`, :mod:`.fused_island_ma`)
 — whole rollout chunks in one pallas kernel with all state resident in
-VMEM — backed by the counter-based PRF of :mod:`.prng`.
-:mod:`.pallas_ops` holds standalone per-op kernels kept as reference
-formulations.
+VMEM — backed by the counter-based PRF of :mod:`.prng`. (Standalone
+per-op kernels were benchmarked and removed: at gridworld sizes XLA's
+fusion beats isolated kernels — findings in ``docs/KERNELS.md``.)
 """
-
-from ai_safety_gridworlds_tpu.ops.pallas_ops import (  # noqa: F401
-    compact_lut,
-    fire_union_probability,
-    fire_union_reference,
-    value_map_batched,
-    value_map_reference,
-)
 
 
 def make_fused(env):
