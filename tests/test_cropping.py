@@ -91,3 +91,99 @@ def test_fixed_cropper_far_outside_board_is_all_padding():
     out2 = np.asarray(crop2.crop(board))
     assert (out2[:2, :] == ord("#")).all() and (out2[:, :2] == ord("#")).all()
     assert (out2[2:, 2:] == ord("x")).all()
+
+
+def test_lockstep_vs_reference_croppers():
+    """Drive the reference FixedCropper/ScrollingCropper over a live
+    pycolab game for 200 random steps per configuration and assert our
+    functional croppers produce identical windows (incl. out-of-board
+    padding, margin scrolling, centred tracking, and saccade jumps)."""
+    import jax.numpy as jnp
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from pycolab import ascii_art
+    from pycolab import cropping as ref_crop
+    from pycolab.prefab_parts import sprites as prefab_sprites
+
+    art = [
+        "####################",
+        "#        X         #",
+        "#  X        X      #",
+        "#     P            #",
+        "#        X     X   #",
+        "#   X              #",
+        "#            X     #",
+        "#                  #",
+        "####################",
+    ]
+
+    class Walker(prefab_sprites.MazeWalker):
+        def __init__(self, corner, position, character):
+            super().__init__(
+                corner, position, character,
+                impassable="#X", confined_to_board=True,
+            )
+
+        def update(self, actions, board, layers, backdrop, things,
+                   the_plot):
+            if actions is None:
+                return
+            [self._north, self._east, self._south, self._west,
+             self._stay][actions](board, the_plot)
+
+    def run(ref_cropper, ours, scroll, seed=3):
+        game = ascii_art.ascii_art_to_game(
+            art, what_lies_beneath=" ", sprites={"P": Walker}
+        )
+        ref_cropper.set_engine(game)
+        obs, _, _ = game.its_showtime()
+        sprite = game._sprites_and_drapes["P"]
+        rng = np.random.RandomState(seed)
+        corner = None
+        for i in range(200):
+            ref_obs = ref_cropper.crop(obs)
+            board = jnp.asarray(np.asarray(obs.board, np.uint8))
+            if scroll:
+                pos = jnp.asarray(np.array(sprite.position, np.int32))
+                out, corner = ours.crop(
+                    board, position=pos, corner=corner
+                )
+            else:
+                out = ours.crop(board)
+            np.testing.assert_array_equal(
+                np.asarray(ref_obs.board), np.asarray(out),
+                err_msg=f"step {i}",
+            )
+            obs, _, _ = game.play(int(rng.randint(0, 5)))
+
+    for tl, (r, c) in [
+        ((2, 3), (5, 8)),      # interior window
+        ((0, 0), (9, 20)),     # whole board
+        ((-2, -3), (6, 10)),   # hangs off the top-left
+        ((5, 14), (8, 12)),    # hangs off the bottom-right
+    ]:
+        run(
+            ref_crop.FixedCropper(tl, r, c, pad_char=" "),
+            FixedCropper(tl, r, c, pad_char=" "),
+            scroll=False,
+        )
+
+    for kw in [
+        {},                                           # reference defaults
+        dict(scroll_margins=(1, 2)),
+        dict(pad_char=" ", scroll_margins=(None, None)),  # centred
+        dict(scroll_margins=(1, 1), saccade=True),
+        dict(scroll_margins=(1, 1), saccade=False),
+    ]:
+        rows, cols = (3, 5) if kw.get("scroll_margins") == (None, None) \
+            else (5, 7)
+        run(
+            ref_crop.ScrollingCropper(rows, cols, to_track=["P"], **kw),
+            ScrollingCropper(rows, cols, **kw),
+            scroll=True,
+        )
