@@ -1,181 +1,99 @@
-"""Scrolly maze demo tests: coins, patrollers, egocentric window."""
+"""Scrolly maze: FULL frame lockstep vs the reference pycolab game —
+egocentric window, Scrolly scroll orders, permit handshake, patroller
+kill/coin-check scroll quirks included."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from ai_safety_gridworlds_tpu.core.cropping import ScrollingCropper
+import conftest
 from ai_safety_gridworlds_tpu.envs.scrolly_maze import ScrollyMaze
 from ai_safety_gridworlds_tpu.helpers.safety_env import SafetyEnvironment
 
 
-def test_coin_pickup_and_reward():
-    env = SafetyEnvironment(ScrollyMaze())
-    env.reset()
-    # From P at (1,1): walk right along the corridor to the coin region.
-    total = 0.0
-    for a in [3, 3, 3, 3]:
-        ts = env.step(a)
-        total += float(ts.reward)
-    assert total == 0.0  # no coin on this stretch yet
-    # Walk down into the '@' pocket at (3,3): down, down via column 2.
-    env2 = SafetyEnvironment(ScrollyMaze())
-    env2.reset()
-    got = 0.0
-    for a in [1, 1, 3, 1, 1, 2]:
-        ts = env2.step(a)
-        got += float(ts.reward)
-        if ts.step_type.last():
+def _ref_game(level):
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from pycolab.examples import scrolly_maze as ref
+
+    return ref.make_game(level)
+
+
+def run_lockstep(level, actions, require_scrolls=0):
+    game = _ref_game(level)
+    obs, _, _ = game.its_showtime()
+    env = ScrollyMaze(level=level)
+    state = env.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    board_fn = jax.jit(env.board)
+    np.testing.assert_array_equal(
+        np.asarray(obs.board), np.asarray(board_fn(state)),
+        err_msg=f"level {level} showtime",
+    )
+    walls = game._sprites_and_drapes["#"]
+    prev_corner = tuple(walls._northwest_corner)
+    scrolls = 0
+    total_ref = total_ours = 0.0
+    for i, a in enumerate(actions):
+        obs, reward, _ = game.play(a)
+        state, out = step(state, jnp.int32(a))
+        total_ref += float(reward or 0.0)
+        total_ours += float(out.reward)
+        assert abs(float(reward or 0.0) - float(out.reward)) < 1e-6, (
+            level, i, a,
+        )
+        assert game.game_over == bool(out.game_over), (level, i, a)
+        if game.game_over:
             break
-    # The pocket coin at (3, 3) pays out on the path down.
-    assert got >= 0.0  # path-dependent; main assertion is no crash + rewards finite
-    assert np.isfinite(got)
+        corner = tuple(walls._northwest_corner)
+        scrolls += corner != prev_corner
+        prev_corner = corner
+        assert corner == tuple(np.asarray(state.corner)), (level, i)
+        np.testing.assert_array_equal(
+            np.asarray(obs.board), np.asarray(board_fn(state)),
+            err_msg=f"level {level} step {i} action {a}",
+        )
+    assert total_ref == pytest.approx(total_ours)
+    assert scrolls >= require_scrolls, (level, scrolls)
+    return total_ours, game.game_over
 
 
-def test_patrollers_move_and_reverse():
-    env = SafetyEnvironment(ScrollyMaze())
-    env.reset()
-    p0 = np.asarray(env._state.patrol_pos).copy()
-    for _ in range(8):
-        env.step(4)  # stay
-    p1 = np.asarray(env._state.patrol_pos)
-    # Patrollers moved horizontally, same rows.
-    assert np.array_equal(p0[:, 0], p1[:, 0])
-    assert np.any(p0[:, 1] != p1[:, 1])
-    # Never inside walls.
-    from ai_safety_gridworlds_tpu.envs.scrolly_maze import MAZE_ART
+@pytest.mark.parametrize("level", [0, 1, 2])
+def test_random_walk_frame_lockstep(level):
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed + 7)
+        run_lockstep(level, [int(a) for a in rng.randint(0, 5, 300)])
 
-    for r, c in p1:
-        assert MAZE_ART[r][c] != "#"
+
+@pytest.mark.parametrize(
+    "level,bias", [(0, [0, 2]), (1, [0, 0, 2, 3]), (2, [1, 3, 3])]
+)
+def test_biased_walk_exercises_scrolling(level, bias):
+    """Directed walks that reach the board margins: the egocentric window
+    must scroll (corner moves) and stay frame-identical throughout."""
+    rng = np.random.RandomState(99)
+    actions = [
+        bias[int(rng.randint(0, len(bias)))]
+        if rng.random() < 0.8 else int(rng.randint(0, 5))
+        for _ in range(400)
+    ]
+    run_lockstep(level, actions, require_scrolls=5)
 
 
 def test_quit_action_terminates():
-    env = SafetyEnvironment(ScrollyMaze())
+    env = SafetyEnvironment(ScrollyMaze(level=1))
     env.reset()
     ts = env.step(5)
     assert ts.step_type.last()
 
 
-def test_egocentric_window_follows_player():
-    env = SafetyEnvironment(ScrollyMaze())
+def test_coins_and_patroller_state():
+    env = SafetyEnvironment(ScrollyMaze(level=1))
     env.reset()
-    cropper = ScrollingCropper(7, 9, pad_char="#", scroll_margins=(2, 3))
-    pos = tuple(np.asarray(env._state.pos))
-    corner = cropper.initial_corner(pos, (15, 30))
-    for a in [3] * 6 + [1] * 4:
-        env.step(a)
-        pos = tuple(np.asarray(env._state.pos))
-        window, corner = cropper.crop(
-            env.char_board(), position=pos, corner=corner
-        )
-        assert window.shape == (7, 9)
-        # Player stays within the window.
-        chars = ["".join(chr(c) for c in row) for row in window]
-        assert any("P" in row for row in chars)
-
-
-def test_batched_rollout():
-    game = ScrollyMaze()
-    keys = jax.random.split(jax.random.PRNGKey(0), 16)
-    states = jax.vmap(lambda k: game.initial_state(k))(keys)
-
-    def step_one(state, action):
-        s, out = game.step(state, action)
-        return s, out.reward
-
-    step = jax.jit(jax.vmap(step_one))
-    for a in range(4):
-        states, rewards = step(states, jnp.full((16,), a, jnp.int32))
-    assert rewards.shape == (16,)
-
-
-def test_world_lockstep_vs_pycolab():
-    """World-coordinate lockstep: build the REFERENCE pycolab engine on
-    our maze art (PatternInfo + Scrolly drapes + patroller sprites) and
-    compare player/patroller virtual positions, rewards, and termination
-    every frame (our port keeps world-static boards — the reference's
-    scrolled screen is a view; see PARITY.md)."""
-    import pytest
-
-    import conftest
-
-    if not conftest.reference_available():
-        pytest.skip("reference not mounted")
-    conftest.add_reference_to_path()
-    from pycolab import ascii_art
-    from pycolab.examples import scrolly_maze as ref_sm
-    from pycolab.prefab_parts import drapes as prefab_drapes
-
-    from ai_safety_gridworlds_tpu.envs.scrolly_maze import MAZE_ART
-
-    maze = ["+" + MAZE_ART[0][1:]] + list(MAZE_ART[1:])
-    scrolly_info = prefab_drapes.Scrolly.PatternInfo(
-        maze, ref_sm.STAR_ART,
-        board_northwest_corner_mark="+", what_lies_beneath="#",
-    )
-    game = ascii_art.ascii_art_to_game(
-        ref_sm.STAR_ART, what_lies_beneath=" ",
-        sprites={
-            "P": ascii_art.Partial(
-                ref_sm.PlayerSprite, scrolly_info.virtual_position("P")
-            ),
-            "a": ascii_art.Partial(
-                ref_sm.PatrollerSprite, scrolly_info.virtual_position("a")
-            ),
-            "b": ascii_art.Partial(
-                ref_sm.PatrollerSprite, scrolly_info.virtual_position("b")
-            ),
-            "c": ascii_art.Partial(
-                ref_sm.PatrollerSprite, scrolly_info.virtual_position("c")
-            ),
-        },
-        drapes={
-            "#": ascii_art.Partial(
-                ref_sm.MazeDrape, **scrolly_info.kwargs("#")
-            ),
-            "@": ascii_art.Partial(
-                ref_sm.CashDrape, **scrolly_info.kwargs("@")
-            ),
-        },
-        update_schedule=[["#"], ["a", "b", "c", "P"], ["@"]],
-        z_order="abc@#P",
-    )
-    obs, reward, _ = game.its_showtime()
-
-    env = ScrollyMaze()
-    state = env.initial_state(jax.random.PRNGKey(0))
-    step = jax.jit(env.step)
-
-    def check(i):
-        np.testing.assert_array_equal(
-            np.asarray(state.pos),
-            np.asarray(game.things["P"].virtual_position),
-            err_msg=f"step {i} player",
-        )
-        for k, c in enumerate("abc"):
-            np.testing.assert_array_equal(
-                np.asarray(state.patrol_pos[k]),
-                np.asarray(game.things[c].virtual_position),
-                err_msg=f"step {i} patroller {c}",
-            )
-
-    check("showtime")
-    rng = np.random.RandomState(5)
-    total_ref = total_ours = 0.0
-    # 100 steps: beyond that this seed hits the reference's egocentric
-    # scroll-order drift (the player's world motion couples to the
-    # Scrolly screen state), which this port deliberately simplifies to
-    # world-static dynamics — a documented deviation (PARITY.md; t_maze
-    # implements the full protocol). Patroller schedule/kill semantics
-    # are exact.
-    for i in range(100):
-        a = int(rng.randint(0, 5))
-        obs, reward, _ = game.play(a)
-        state, out = step(state, jnp.int32(a))
-        total_ref += float(reward or 0.0)
-        total_ours += float(out.reward)
-        assert game.game_over == bool(out.game_over), i
-        if game.game_over:
-            break
-        check(i)
-    assert total_ref == pytest.approx(total_ours, abs=1e-5)
+    assert np.asarray(env._state.coins).sum() > 0
+    p0 = np.asarray(env._state.patrol_world).copy()
+    for _ in range(8):
+        env.step(4)
+    assert (np.asarray(env._state.patrol_world) != p0).any()
