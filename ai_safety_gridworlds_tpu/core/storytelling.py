@@ -52,6 +52,7 @@ class Story:
             self._order = list(range(len(chapters)))
             self._first = 0
         self._croppers = croppers
+        self._crop_corner = None  # ScrollingCropper state, per chapter
         self.the_plot: dict = {}
         self._current_key = None
         self._env = None
@@ -66,6 +67,7 @@ class Story:
         else:
             env = builder()
         self._current_key = key
+        self._crop_corner = None  # new chapter => fresh scroll window
         return env
 
     def _next_key(self):
@@ -82,26 +84,55 @@ class Story:
                 return self._order[idx + 1]
         return None
 
-    def _crop(self, timestep):
+    def _chapter_croppers(self):
+        """Croppers for the CURRENT chapter: per-chapter dict (like the
+        reference's ``croppers=`` argument, ``storytelling.py:114``) or a
+        flat list applied to every chapter. Entries may be fixed croppers,
+        or ``(ScrollingCropper, position_fn)`` pairs — the functional
+        scroller needs an explicit tracked position (``position_fn(env) ->
+        (row, col)``); the Story threads its window corner and resets it
+        on chapter switch, like the reference's ``set_engine`` reset
+        (``cropping.py:380-394``)."""
         if not self._croppers:
+            return []
+        if isinstance(self._croppers, dict):
+            entry = self._croppers.get(self._current_key)
+            if entry is None:
+                return []
+            return entry if isinstance(entry, (list, tuple)) and not (
+                len(entry) == 2 and callable(entry[1])
+            ) else [entry]
+        return list(self._croppers)
+
+    def _crop(self, timestep):
+        croppers = self._chapter_croppers()
+        if not croppers:
             return timestep
         from ai_safety_gridworlds_tpu.core.cropping import ScrollingCropper
 
         obs = dict(timestep.observation)
-        for cropper in self._croppers:
+        for cropper in croppers:
+            position_fn = None
+            if isinstance(cropper, tuple):
+                cropper, position_fn = cropper
             if isinstance(cropper, ScrollingCropper):
-                # The functional ScrollingCropper needs an explicit
-                # tracked position and returns (window, corner) — it
-                # cannot be applied blindly here. Track-and-crop inside
-                # the chapter env instead (see envs/t_maze.py).
-                raise TypeError(
-                    "Story croppers must be fixed-window croppers; "
-                    "apply ScrollingCropper inside the chapter "
-                    "environment with an explicit position"
-                )
-            for key in ("board", "ascii_codes"):
-                if key in obs:
-                    obs[key] = cropper.crop(obs[key])
+                if position_fn is None:
+                    raise TypeError(
+                        "Story ScrollingCropper entries need a "
+                        "(cropper, position_fn) pair"
+                    )
+                pos = position_fn(self._env)
+                corner = self._crop_corner
+                for key in ("board", "ascii_codes"):
+                    if key in obs:
+                        obs[key], new_corner = cropper.crop(
+                            obs[key], position=pos, corner=corner
+                        )
+                self._crop_corner = new_corner
+            else:
+                for key in ("board", "ascii_codes"):
+                    if key in obs:
+                        obs[key] = cropper.crop(obs[key])
         return timestep._replace(observation=obs)
 
     # ----------------------------------------------------------------- api

@@ -394,9 +394,20 @@ def make_ordeal_story() -> Story:
     return Story(
         {"castle": castle, "cavern": cavern, "kansas": kansas},
         first_chapter="kansas",
+        # Per-chapter croppers exactly like the reference
+        # (``ordeal.py:104-110``): only Kansas is windowed, tracking the
+        # player with margins (2, 3) and no padding (the window clamps to
+        # the board).
+        croppers={
+            "kansas": (
+                kansas_cropper(),
+                lambda env: np.asarray(env._state.pos),
+            )
+        },
     )
 
 
 def kansas_cropper() -> ScrollingCropper:
-    """The upstream display cropper for the Kansas overworld."""
-    return ScrollingCropper(8, 15, pad_char="w", scroll_margins=(2, 3))
+    """The upstream display cropper for the Kansas overworld
+    (``ordeal.py:104-105``: rows=8, cols=15, margins (2, 3), no pad)."""
+    return ScrollingCropper(8, 15, scroll_margins=(2, 3))

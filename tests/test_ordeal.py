@@ -98,11 +98,10 @@ def test_kansas_cropper_window():
 
 
 def test_frame_lockstep_vs_pycolab_story():
-    """Engine-level lockstep against the reference pycolab Story: player
-    and dragon world positions, rewards, chapter transitions, and
-    termination agree on random play-throughs (the reference observation
-    passes through Story croppers — an egocentric view over the same
-    engine state; our Story keeps world boards, PARITY.md)."""
+    """FULL-frame lockstep against the reference pycolab Story: the
+    observed boards (including the Kansas chapter's scrolling-cropper
+    window and chapter-transition first frames), rewards, and
+    termination agree on random play-throughs."""
     import pytest
 
     import conftest
@@ -129,24 +128,59 @@ def test_frame_lockstep_vs_pycolab_story():
         total_ref = total_ours = 0.0
         for i in range(300):
             a = int(rng.randint(0, 4))
-            _, reward, _ = game.play(a)
+            obs, reward, _ = game.play(a)
             ts = story.play(a)
             total_ref += float(reward or 0.0)
             total_ours += float(ts.reward or 0.0)
             assert game.game_over == story.game_over, (trial, i)
             if story.game_over:
                 break
-            ref_things = game.current_game.things
-            our_state = story._env._state
             np.testing.assert_array_equal(
-                np.asarray(ref_things["P"].position),
-                np.asarray(our_state.pos),
-                err_msg=f"trial {trial} step {i} player",
+                np.asarray(obs.board),
+                np.asarray(ts.observation["ascii_codes"]),
+                err_msg=f"trial {trial} step {i}",
             )
-            if "D" in ref_things:
-                np.testing.assert_array_equal(
-                    np.asarray(ref_things["D"].position),
-                    np.asarray(our_state.dragon),
-                    err_msg=f"trial {trial} step {i} dragon",
-                )
         assert total_ref == pytest.approx(total_ours, abs=1e-5), trial
+
+
+def test_chapter_crossing_board_lockstep():
+    """Scripted walk that crosses chapter boundaries (Kansas -> castle):
+    the chapter-transition first frames and the Kansas scroll window must
+    match the reference Story frame-for-frame."""
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    import collections
+    import collections.abc
+
+    for name in ("Mapping", "Sequence", "Iterable", "Callable"):
+        if not hasattr(collections, name):
+            setattr(collections, name, getattr(collections.abc, name))
+    from pycolab.examples import ordeal as ref_ordeal
+
+    game = ref_ordeal.make_game()
+    game.its_showtime()
+    story = make_ordeal_story()
+    story.its_showtime()
+    chapters = {story.current_chapter}
+    # West to the %-pass, north off the top edge into the castle (the
+    # same route as test_kansas_to_castle_and_slain_without_sword), then
+    # idle through the battle frames.
+    actions = [2, 2, 2, 2] + [0] * 8 + [0] * 30
+    for i, a in enumerate(actions):
+        obs, reward, _ = game.play(a)
+        ts = story.play(a)
+        assert game.game_over == story.game_over, i
+        if story.game_over:
+            break
+        chapters.add(story.current_chapter)
+        np.testing.assert_array_equal(
+            np.asarray(obs.board),
+            np.asarray(ts.observation["ascii_codes"]),
+            err_msg=f"step {i} chapter {story.current_chapter}",
+        )
+    assert len(chapters) >= 2, chapters  # actually crossed a boundary
