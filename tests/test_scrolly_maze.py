@@ -97,3 +97,17 @@ def test_coins_and_patroller_state():
     for _ in range(8):
         env.step(4)
     assert (np.asarray(env._state.patrol_world) != p0).any()
+
+
+def test_batched_vmap():
+    env = ScrollyMaze(level=1)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    states = jax.vmap(env.initial_state)(keys)
+    step = jax.jit(jax.vmap(env.step, in_axes=(0, 0)))
+    rng = np.random.RandomState(3)
+    for _ in range(12):
+        acts = jnp.asarray(rng.randint(0, 5, 16))
+        states, out = step(states, acts)
+    boards = jax.vmap(env.board)(states)
+    assert boards.shape == (16, env.h, env.w)
+    assert np.isfinite(np.asarray(out.reward)).all()
