@@ -99,3 +99,43 @@ def test_moma_csv_and_qvalue_logging(tmp_path):
     assert any(c.startswith("reward_0_") for c in header)
     assert any(c.startswith("reward_1_") for c in header)
     assert any(c.startswith("tiletype_qvalue_1_") for c in header)
+
+
+def test_format_float_matches_reference_decimal_semantics():
+    """CSV float normalization: prec-10 ROUND_HALF_UP with trailing-zero
+    normalization, differentially checked against the reference's
+    formatter semantics (``safety_game_mo.py:400,1218-1227``) over random
+    magnitudes and edge cases."""
+    import decimal
+    import numbers
+
+    import numpy as np
+
+    from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
+        SafetyEnvironmentMo,
+    )
+
+    ctx = decimal.Context(
+        prec=10, rounding=decimal.ROUND_HALF_UP, capitals=0
+    )
+
+    def ref_format(value):
+        if isinstance(value, numbers.Number):
+            d = ctx.create_decimal_from_float(float(value))
+            integral = d.to_integral()
+            return integral if d == integral else d.normalize()
+        return str(value)
+
+    class Shim:
+        decimal_context = ctx
+
+    rng = np.random.RandomState(0)
+    vals = list(rng.randn(200) * 10.0 ** rng.randint(-8, 8, 200)) + [
+        0.0, -0.0, 1.0, -1.0, 0.1, 1 / 3, 2 / 3, 100.0, 1e16, -1e16,
+        123456789.123456789, np.float32(0.30000001), np.int64(7),
+        np.float64(5e-324), 1e9 + 0.5, "label",
+    ]
+    for v in vals:
+        assert str(ref_format(v)) == str(
+            SafetyEnvironmentMo.format_float(Shim(), v)
+        ), v
