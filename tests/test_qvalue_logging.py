@@ -139,3 +139,29 @@ def test_format_float_matches_reference_decimal_semantics():
         assert str(ref_format(v)) == str(
             SafetyEnvironmentMo.format_float(Shim(), v)
         ), v
+
+
+def test_gini_coefficient_matches_reference():
+    import numpy as np
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from ai_safety_gridworlds.environments.shared.safety_game_mo import (
+        gini_coefficient as ref_gini,
+    )
+
+    from ai_safety_gridworlds_tpu.mo.safety_game_mo import gini_coefficient
+
+    rng = np.random.RandomState(1)
+    cases = [
+        [], [0.0], [5.0], [-3.0, -3.0], [1.0, 0.0], [-10.0, 10.0],
+        [0.0, 0.0, 0.0], list(range(10)),
+    ] + [list(rng.randn(rng.randint(1, 8)) * 10) for _ in range(60)]
+    for v in cases:
+        assert float(ref_gini(v)) == pytest.approx(
+            float(gini_coefficient(v)), abs=1e-12
+        ), v
