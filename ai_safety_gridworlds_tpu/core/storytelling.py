@@ -123,6 +123,7 @@ class Story:
                     )
                 pos = position_fn(self._env)
                 corner = self._crop_corner
+                new_corner = corner
                 for key in ("board", "ascii_codes"):
                     if key in obs:
                         obs[key], new_corner = cropper.crop(
