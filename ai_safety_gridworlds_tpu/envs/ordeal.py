@@ -287,8 +287,20 @@ class CastleChapter(_OrdealChapter):
 
     def board(self, state):
         board = jnp.asarray(self._backdrop)
-        board = paint_sprite(board, state.dragon, ord("D"))
-        return paint_sprite(board, state.pos, ord("P"))
+        # Terminal battle z-dance (``ordeal.py:180-185``, applied by the
+        # engine's post-directive re-render, ``engine.py:628-637``): with
+        # the sword the dragonduck is moved in front of the player;
+        # without, the player is moved in front (already the default).
+        d_on_top = (state.exit_code == -1) & state.has_sword
+        p_top = paint_sprite(
+            paint_sprite(board, state.dragon, ord("D")),
+            state.pos, ord("P"),
+        )
+        d_top = paint_sprite(
+            paint_sprite(board, state.pos, ord("P")),
+            state.dragon, ord("D"),
+        )
+        return jnp.where(d_on_top, d_top, p_top)
 
 
 class CavernChapter(_OrdealChapter):

@@ -133,13 +133,13 @@ def test_frame_lockstep_vs_pycolab_story():
             total_ref += float(reward or 0.0)
             total_ours += float(ts.reward or 0.0)
             assert game.game_over == story.game_over, (trial, i)
-            if story.game_over:
-                break
             np.testing.assert_array_equal(
                 np.asarray(obs.board),
                 np.asarray(ts.observation["ascii_codes"]),
                 err_msg=f"trial {trial} step {i}",
             )
+            if story.game_over:
+                break
         assert total_ref == pytest.approx(total_ours, abs=1e-5), trial
 
 
@@ -175,12 +175,90 @@ def test_chapter_crossing_board_lockstep():
         obs, reward, _ = game.play(a)
         ts = story.play(a)
         assert game.game_over == story.game_over, i
-        if story.game_over:
-            break
         chapters.add(story.current_chapter)
         np.testing.assert_array_equal(
             np.asarray(obs.board),
             np.asarray(ts.observation["ascii_codes"]),
             err_msg=f"step {i} chapter {story.current_chapter}",
         )
+        if story.game_over:
+            break
     assert len(chapters) >= 2, chapters  # actually crossed a boundary
+
+
+def test_sword_battle_terminal_frame_lockstep():
+    """Scripted sword run (kansas -> cavern -> sword -> kansas -> castle):
+    the TERMINAL battle frame must match, including the z-order dance
+    that draws the dragonduck in front of the armed player."""
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    import collections
+    import collections.abc
+
+    for name in ("Mapping", "Sequence", "Iterable", "Callable"):
+        if not hasattr(collections, name):
+            setattr(collections, name, getattr(collections.abc, name))
+    from pycolab.examples import ordeal as ref_ordeal
+
+    game = ref_ordeal.make_game()
+    game.its_showtime()
+    story = make_ordeal_story()
+    story.its_showtime()
+    i = 0
+    last_reward = None
+
+    def play(a):
+        nonlocal i, last_reward
+        obs, reward, _ = game.play(a)
+        ts = story.play(a)
+        last_reward = reward
+        assert game.game_over == story.game_over, (i, story.current_chapter)
+        np.testing.assert_array_equal(
+            np.asarray(obs.board),
+            np.asarray(ts.observation["ascii_codes"]),
+            err_msg=f"step {i} chapter {story.current_chapter}",
+        )
+        i += 1
+        return obs
+
+    def walk_until(a, pred, cap=80):
+        for _ in range(cap):
+            if pred() or story.game_over:
+                return
+            play(a)
+
+    # Kansas: to the %-road, east into the cavern.
+    play(0)
+    play(0)
+    walk_until(3, lambda: story.current_chapter == "cavern")
+    assert story.current_chapter == "cavern"
+    # Collect the sword: up, east to under the S, up onto it.
+    for a in [0] + [3] * 8 + [0]:
+        play(a)
+    assert story.the_plot["has_sword"]
+    # Back west into Kansas, then to the %-pass and north into the castle.
+    play(1)
+    walk_until(2, lambda: story.current_chapter == "kansas")
+    assert story.current_chapter == "kansas"
+    # Down to the open row 7, west to the col-8 pass, north into the castle.
+    walk_until(1, lambda: story.the_plot["last_position"][0] >= 7)
+    walk_until(2, lambda: story.the_plot["last_position"][1] <= 8)
+    walk_until(0, lambda: story.current_chapter == "castle")
+    assert story.current_chapter == "castle"
+    # March at the dragonduck until the battle ends the story.
+    obs = None
+    for _ in range(40):
+        obs = play(0)
+        if story.game_over:
+            break
+    assert story.game_over
+    assert float(last_reward) == 1.0  # armed: the player wins
+    assert story.the_plot["has_sword"]
+    # The z-dance: the dragonduck is drawn over the player cell.
+    assert (np.asarray(obs.board) == ord("D")).any()
+    assert not (np.asarray(obs.board) == ord("P")).any()
