@@ -173,9 +173,9 @@ def test_generation_and_frame_lockstep_vs_pycolab():
                 seed, i,
             )
             assert game.game_over == bool(out.game_over), (seed, i)
-            if game.game_over:
-                break
             np.testing.assert_array_equal(
                 np.asarray(obs.board), np.asarray(board_fn(state)),
                 err_msg=f"seed {seed} step {i}",
             )
+            if game.game_over:
+                break

@@ -116,9 +116,9 @@ def test_frame_lockstep_vs_pycolab():
                 assert game.game_over == bool(out.game_over), (
                     mod_name, seed, i,
                 )
-                if game.game_over:
-                    break
                 np.testing.assert_array_equal(
                     np.asarray(obs.board), np.asarray(board_fn(state)),
                     err_msg=f"{mod_name} seed {seed} step {i}",
                 )
+                if game.game_over:
+                    break

@@ -90,9 +90,9 @@ def test_frame_lockstep_vs_pycolab():
                 level, i,
             )
             assert game.game_over == bool(out.game_over), (level, i)
-            if game.game_over:
-                break
             np.testing.assert_array_equal(
                 np.asarray(obs.board), np.asarray(board_fn(state)),
                 err_msg=f"level {level} step {i}",
             )
+            if game.game_over:
+                break
