@@ -106,9 +106,9 @@ def test_frame_lockstep_vs_pycolab():
             np.testing.assert_allclose(
                 float(reward or 0.0), float(out.reward), err_msg=(seed, i)
             )
-            if game.game_over:
-                break
             np.testing.assert_array_equal(
                 np.asarray(obs.board), np.asarray(board_fn(state)),
                 err_msg=f"seed {seed} step {i}",
             )
+            if game.game_over:
+                break

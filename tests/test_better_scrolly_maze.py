@@ -37,13 +37,13 @@ def run_lockstep(level, actions):
         total_ref += float(reward or 0.0)
         total_ours += float(out.reward)
         assert game.game_over == bool(out.game_over), (i, a)
-        if game.game_over:
-            break
         np.testing.assert_array_equal(
             np.asarray(obs.board),
             np.asarray(board_fn(state)),
             err_msg=f"step {i} action {a}",
         )
+        if game.game_over:
+            break
     assert total_ref == pytest.approx(total_ours)
 
 

@@ -181,10 +181,10 @@ def test_frame_lockstep_vs_pycolab():
         total_ref += float(reward or 0.0)
         total_ours += float(out.reward)
         assert game.game_over == bool(out.game_over), i
-        if game.game_over:
-            break
         np.testing.assert_array_equal(
             np.asarray(obs.board), np.asarray(board_fn(state)),
             err_msg=f"step {i}",
         )
+        if game.game_over:
+            break
     assert total_ref == pytest.approx(total_ours, abs=1e-5)

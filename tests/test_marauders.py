@@ -143,7 +143,7 @@ def test_frame_lockstep_vs_pycolab():
         total_ref += float(reward or 0.0)
         total_ours += float(out.reward)
         assert game.game_over == bool(out.game_over), i
+        check(i, obs)
         if game.game_over:
             break
-        check(i, obs)
     assert total_ref == pytest.approx(total_ours, abs=1e-5)

@@ -59,13 +59,13 @@ def run_lockstep(seed, n_steps, policy):
                 np.asarray(reward), np.asarray(out.reward), err_msg=str(i)
             )
         assert game.game_over == bool(out.game_over), i
-        if game.game_over:
-            break
         np.testing.assert_array_equal(
             np.asarray(obs.board),
             np.asarray(board_fn(state)),
             err_msg=f"step {i}",
         )
+        if game.game_over:
+            break
     return totals, game.game_over
 
 
