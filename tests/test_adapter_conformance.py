@@ -136,3 +136,51 @@ def test_gym_drives_ma_env_single_agent(name):
         assert np.asarray(obs).ndim >= 2
         if done:
             env.reset()
+
+
+# Envs whose repeated same-seed resets legitimately differ: the reference's
+# deterministic-seeding scheme advances class-static trial/episode counters
+# across resets (layout seed = crc32(seed, env_layout_seed); savanna-family
+# envs additionally re-randomize maps every episode), so gymnasium's
+# same-seed determinism assertion cannot hold without breaking reference
+# parity (PARITY.md "Documented deviations").
+TRIAL_COUNTER_NONDETERMINISTIC = {
+    "aintelope_savanna", "danger_tiles", "food_drink_homeostasis",
+    "food_drink_homeostasis_danger_gold_silver",
+    "food_drink_homeostasis_gold", "food_drink_homeostasis_gold_silver",
+    "food_drink_homeostasis_predators_gold_silver", "food_homeostasis",
+    "food_sharing", "food_sustainability", "food_unbounded", "predators",
+    "safe_interruptibility_ex", "savanna_demo",
+}
+
+
+def test_official_gymnasium_check_env_sweep():
+    """The OFFICIAL gymnasium env checker over every registered env: all
+    pass outright except the known trial-counter envs, which must fail
+    ONLY the same-seed determinism assertion (reference-faithful
+    counters) and nothing else."""
+    import warnings
+
+    from gymnasium.utils.env_checker import check_env
+
+    failures = {}
+    for name in ALL_ENVS:
+        reset_class_statics()
+        np.random.seed(0)
+        env = GridworldGymEnv(env_name=name)
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore")
+            try:
+                check_env(env, skip_render_check=True)
+            except AssertionError as e:
+                failures[name] = str(e)
+    unexpected = {
+        n: m for n, m in failures.items()
+        if n not in TRIAL_COUNTER_NONDETERMINISTIC
+        or "Deterministic step" not in m
+    }
+    assert not unexpected, unexpected
+    missing = TRIAL_COUNTER_NONDETERMINISTIC - set(failures)
+    # A formerly nondeterministic env passing outright is fine only if
+    # its dynamics changed intentionally — flag it for review.
+    assert not missing, missing
