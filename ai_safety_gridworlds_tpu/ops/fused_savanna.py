@@ -966,33 +966,30 @@ class FusedSavanna(FusedMaBase):
                         )
                         current = jnp.sum(cur_f, axis=0, keepdims=True)
                         need = jnp.maximum(current - av_int, 0.0)
-                        # Removal pass 1 (non-player cells), then pass 2
-                        # over the remainder: K unrolled argmin
-                        # extractions each == "the k smallest scores"
-                        # (per-env select_k threshold semantics).
-                        for pass_mask in (
-                            (cur_f > 0.5) & ~player_cells,
-                            None,  # pass 2: whatever is still on the curtain
-                        ):
-                            scores = jnp.where(
-                                (cur_f > 0.5) if pass_mask is None
-                                else pass_mask,
-                                u, 2.0,
+                        # Removal: non-player cells first, then player
+                        # cells (reference two-pass semantics) — collapsed
+                        # into ONE run of K argmin extractions by offsetting
+                        # player-cell scores +1, so they only win the min
+                        # once every non-player score (< 1) is exhausted.
+                        # Same without-replacement order class, half the
+                        # reductions. Sentinel 3.0 marks non-curtain cells.
+                        scores = jnp.where(
+                            cur_f > 0.5,
+                            u + player_cells.astype(_F32),
+                            3.0,
+                        )
+                        for _ in range(spec["k_rem"]):
+                            minv = jnp.min(scores, axis=0, keepdims=True)
+                            pick = (
+                                (scores <= minv) & (minv < 2.5)
+                                & (need > 0.5)
                             )
-                            for _ in range(spec["k_rem"]):
-                                minv = jnp.min(
-                                    scores, axis=0, keepdims=True
-                                )
-                                pick = (
-                                    (scores <= minv) & (minv < 1.5)
-                                    & (need > 0.5)
-                                )
-                                pickf = pick.astype(_F32)
-                                cur_f = cur_f - pickf
-                                scores = jnp.where(pick, 2.0, scores)
-                                need = need - jnp.sum(
-                                    pickf, axis=0, keepdims=True
-                                )
+                            pickf = pick.astype(_F32)
+                            cur_f = cur_f - pickf
+                            scores = jnp.where(pick, 3.0, scores)
+                            need = need - jnp.sum(
+                                pickf, axis=0, keepdims=True
+                            )
                         # Spawn onto free non-wall, non-player cells.
                         current = jnp.sum(cur_f, axis=0, keepdims=True)
                         grow = jnp.maximum(av_int - current, 0.0)
