@@ -34,6 +34,10 @@ def run_lockstep(level, actions):
         assert game.game_over == bool(out.game_over), (i, a)
         if game.game_over:
             assert float(reward or 0.0) == float(out.reward), i
+            np.testing.assert_array_equal(
+                np.asarray(obs.board), np.asarray(board_fn(state)),
+                err_msg=f"terminal step {i}",
+            )
             return
         np.testing.assert_array_equal(
             np.asarray(obs.board),

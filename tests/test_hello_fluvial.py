@@ -43,6 +43,7 @@ def run_lockstep(module_name, env, actions, quit_action=None):
         total_ours += float(out.reward)
         if game.game_over:
             assert bool(out.game_over), i
+            _frames_match(obs, board_fn(state), f"terminal step {i}")
             break
         assert not bool(out.game_over), i
         _frames_match(obs, board_fn(state), f"step {i} action {a}")

@@ -62,6 +62,10 @@ def run_lockstep(seed, actions):
         assert game.game_over == bool(out.game_over), i
         if game.game_over:
             assert float(reward or 0.0) == float(out.reward), i
+            np.testing.assert_array_equal(
+                np.asarray(obs.board), np.asarray(board_fn(state)),
+                err_msg=f"terminal step {i}",
+            )
             break
         np.testing.assert_array_equal(
             np.asarray(obs.board),
