@@ -291,3 +291,41 @@ def test_evaluate_exact_episode_returns():
         float(out["mean_episode_return"]),
         float(np.mean(rets)), rtol=1e-5,
     )
+
+
+def test_ppo_train_step_savanna_sustainability():
+    """Fused-PPO collection composes with the in-kernel sustainability
+    drape phase: trajectories match between the XLA and pallas bodies and
+    one train step produces finite updates."""
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+    from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
+
+    fused = FusedSavanna(
+        AIntelopeSavanna(max_iterations=6, sustainability_challenge=True)
+    )
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=5, n_epochs=1, n_minibatches=2, hidden=16
+    )
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(2), batch_size=16, config=config
+    )
+    S, traj_x, boot_x = fused.rollout_collect(
+        dict(state.S), state.params, 5, backend="xla"
+    )
+    _, traj_p, _ = fused.rollout_collect(
+        dict(state.S), state.params, 5, backend="pallas", tile=8,
+        interpret=True,
+    )
+    for k in traj_x:
+        np.testing.assert_allclose(
+            np.asarray(traj_x[k]), np.asarray(traj_p[k]),
+            rtol=0, atol=1e-6, err_msg=k,
+        )
+    train = ppo_fused.make_train_step(fused, config=config, backend="xla")
+    state2, metrics = train(state)
+    leaves = jax.tree_util.tree_leaves(state2.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)).all(), k
