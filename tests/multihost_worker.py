@@ -135,6 +135,31 @@ def main():
     assert np.isfinite(float(fused_tot))
     assert int(jnp.max(out["t"].addressable_shards[0].data)) > 0
 
+    # --- sharded fused-PPO train step over the GLOBAL mesh ---------------
+    # Full production training composition across HOSTS: pallas collection
+    # per device inside shard_map, pmean'd gradients over DCN, replicated
+    # Adam update. init is seeded identically on every host, so the
+    # replicated metrics must agree byte-for-byte.
+    from ai_safety_gridworlds_tpu.learners import ppo_fused
+
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=4, n_epochs=1, n_minibatches=2, hidden=8
+    )
+    ppo_state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(7), batch_size=global_batch, config=config
+    )
+    train_step, shard_state = ppo_fused.make_sharded_train_step(
+        fused, mesh, config=config, tile=2, interpret=True
+    )
+    ppo_state = shard_state(ppo_state)
+    ppo_state, metrics = train_step(ppo_state)
+    jax.block_until_ready(metrics)
+    ppo_loss = float(np.asarray(metrics["policy_loss"]).ravel()[0])
+    assert all(
+        np.isfinite(np.asarray(v)).all() for v in metrics.values()
+    )
+    assert int(ppo_state.update_idx) == 1
+
     sink = multihost.ShardedCsvSink(
         out_dir, "rollout", ["episode_return", "hidden_return", "env_t"]
     )
@@ -151,7 +176,10 @@ def main():
     with open(
         os.path.join(out_dir, f"global_host{process_id}.txt"), "w"
     ) as f:
-        f.write(f"{float(g_ret)!r};{float(g_hid)!r};{float(fused_tot)!r}\n")
+        f.write(
+            f"{float(g_ret)!r};{float(g_hid)!r};{float(fused_tot)!r};"
+            f"{ppo_loss!r}\n"
+        )
     print(f"worker {process_id} ok", flush=True)
 
 
