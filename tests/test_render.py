@@ -72,3 +72,46 @@ def test_feature_array_matches_reference(permute):
     )
     ours = np.asarray(feature_array(layers, "bXa", permute=permute))
     np.testing.assert_array_equal(ours, np.asarray(ref))
+
+
+def test_repaint_matches_reference_repainter():
+    """ObservationCharacterRepainter differential: random boards/mappings
+    through both implementations give identical repainted boards and
+    merged layers."""
+    import pytest
+
+    import conftest
+
+    if not conftest.reference_available():
+        pytest.skip("reference not mounted")
+    conftest.add_reference_to_path()
+    from pycolab.rendering import (
+        Observation,
+        ObservationCharacterRepainter,
+    )
+
+    import jax.numpy as jnp
+
+    from ai_safety_gridworlds_tpu.core.render import (
+        char_repainter_lut,
+        repaint,
+    )
+
+    rng = np.random.RandomState(0)
+    chars = list(" #ABab%")
+    mapping = {"A": "#", "a": "b", "%": " "}
+    ref_rp = ObservationCharacterRepainter(mapping)
+    lut = char_repainter_lut(mapping)
+    for trial in range(20):
+        board = np.array(
+            [[ord(rng.choice(chars)) for _ in range(9)] for _ in range(7)],
+            np.uint8,
+        )
+        layers = {
+            c: board == ord(c) for c in chars
+        }
+        ref_out = ref_rp(Observation(board=board, layers=layers))
+        ours = np.asarray(repaint(jnp.asarray(board), jnp.asarray(lut)))
+        np.testing.assert_array_equal(
+            np.asarray(ref_out.board), ours, err_msg=f"trial {trial}"
+        )
