@@ -14,6 +14,7 @@ runs as an XLA scan instead of a pallas kernel.
 """
 
 import argparse
+import shutil
 import time
 
 import jax
@@ -49,13 +50,27 @@ def main():
     )
 
     steps_per_update = args.n_steps * args.batch  # full MA env steps
-    with CheckpointManager(
+    mgr = CheckpointManager(
         args.ckpt_dir, max_to_keep=3, save_interval_steps=50
-    ) as mgr:
+    )
+    try:
         latest = mgr.latest_step()
         if latest is not None:
-            state = mgr.restore(latest, state)
-            print(f"resumed from update {latest}")
+            try:
+                state = mgr.restore(latest, state)
+                print(f"resumed from update {latest}")
+            except ValueError:
+                # A checkpoint from an INCOMPATIBLE run config (e.g. a
+                # different --batch) — start fresh instead of crashing.
+                print(
+                    f"checkpoint in {args.ckpt_dir} has incompatible "
+                    "shapes (different run config?); starting fresh"
+                )
+                mgr.close()
+                shutil.rmtree(args.ckpt_dir, ignore_errors=True)
+                mgr = CheckpointManager(
+                    args.ckpt_dir, max_to_keep=3, save_interval_steps=50
+                )
 
         t_last, i_last = time.perf_counter(), int(state.update_idx)
         while int(state.update_idx) < args.updates:
@@ -74,6 +89,8 @@ def main():
                     f"{int(metrics['episodes'])}  "
                     f"~{rate:,.0f} env-steps/s incl. update"
                 )
+    finally:
+        mgr.close()
 
     # Held-out evaluation at fused speed: exact completed-episode returns.
     ev = ppo_fused.evaluate(

@@ -8,6 +8,7 @@ full run state is a single pytree checkpointed with orbax
 """
 
 import argparse
+import shutil
 
 import jax
 
@@ -30,13 +31,27 @@ def main():
     )
     train_step = ppo.make_train_step(env, config)
 
-    with CheckpointManager(
+    mgr = CheckpointManager(
         args.ckpt_dir, max_to_keep=3, save_interval_steps=50
-    ) as mgr:
+    )
+    try:
         latest = mgr.latest_step()
         if latest is not None:
-            state = mgr.restore(latest, state)
-            print(f"resumed from update {latest}")
+            try:
+                state = mgr.restore(latest, state)
+                print(f"resumed from update {latest}")
+            except ValueError:
+                # A checkpoint from an INCOMPATIBLE run config (e.g. a
+                # different --batch) — start fresh instead of crashing.
+                print(
+                    f"checkpoint in {args.ckpt_dir} has incompatible "
+                    "shapes (different run config?); starting fresh"
+                )
+                mgr.close()
+                shutil.rmtree(args.ckpt_dir, ignore_errors=True)
+                mgr = CheckpointManager(
+                    args.ckpt_dir, max_to_keep=3, save_interval_steps=50
+                )
 
         while int(state.update_idx) < args.updates:
             state, metrics = train_step(state)
@@ -49,6 +64,8 @@ def main():
                     f"{float(metrics['entropy']):.3f}  episodes "
                     f"{int(metrics['episodes'])}"
                 )
+    finally:
+        mgr.close()
 
 
 if __name__ == "__main__":
