@@ -156,8 +156,27 @@ class CropperViews:
         ]
 
 
+def _story_rows(ts) -> list:
+    board = np.asarray(ts.observation["ascii_codes"])
+    return ["".join(chr(c) for c in row) for row in board]
+
+
 def headless_rollout(name: str, steps: int, seed: int = 0, **kwargs):
     """Random-policy rollout; returns (frames printed last, total reward)."""
+    if name == "ordeal":
+        # Story-based game (``ordeal.py:263-281``): drive the multi-chapter
+        # Story shell; the Kansas chapter renders through its scroll window.
+        from ai_safety_gridworlds_tpu.envs.ordeal import make_ordeal_story
+
+        story = make_ordeal_story()
+        ts = story.its_showtime()
+        total, rng = 0.0, np.random.RandomState(seed)
+        for _ in range(steps):
+            ts = story.play(int(rng.randint(0, 4)))
+            total += float(ts.reward or 0.0)
+            if story.game_over:
+                ts = story.its_showtime()
+        return _story_rows(ts), total
     env, module, _, _ = build_env(name, **kwargs)
     views = CropperViews(env)
     key = jax.random.PRNGKey(seed)
@@ -198,6 +217,9 @@ def play(name: str, seed: int = 0, **kwargs):
     """Interactive curses loop (the reference example's ``main``)."""
     import curses
 
+    if name == "ordeal":
+        _play_story(seed)
+        return
     env, module, keys, delay = build_env(name, **kwargs)
     views = CropperViews(env)
     keys = _resolve_keys(keys)
@@ -254,10 +276,59 @@ def play(name: str, seed: int = 0, **kwargs):
     curses.wrapper(loop)
 
 
+def _play_story(seed: int = 0):
+    """Interactive loop for the ordeal Story (reference keys:
+    arrows -> 0..3, 'q' -> 4 quit, timeout -> no step,
+    ``ordeal.py:276-280``)."""
+    import curses
+
+    from ai_safety_gridworlds_tpu.envs.ordeal import make_ordeal_story
+
+    keys = dict(_ARROWS, **{"q": 4, "Q": 4})
+    keys = _resolve_keys(keys)
+
+    def loop(screen):
+        curses.curs_set(0)
+        screen.timeout(200)
+        story = make_ordeal_story()
+        ts = story.its_showtime()
+        total = 0.0
+        while True:
+            screen.erase()
+            rows = _story_rows(ts)
+            for y, row in enumerate(rows):
+                try:
+                    screen.addstr(y, 0, row)
+                except Exception:
+                    pass
+            try:
+                screen.addstr(len(rows) + 1, 0, f"Return: {total:g}")
+            except Exception:
+                pass
+            screen.refresh()
+            ch = screen.getch()
+            if ch == 27:
+                return
+            if ch == -1:
+                continue  # reference maps the timeout to no action
+            name_ = chr(ch) if 0 <= ch < 256 else ch
+            action = keys.get(ch, keys.get(name_))
+            if action is None:
+                continue
+            ts = story.play(int(action))
+            total += float(ts.reward or 0.0)
+            if story.game_over:
+                story = make_ordeal_story()
+                ts = story.its_showtime()
+                total = 0.0
+
+    curses.wrapper(loop)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-e", "--environment", required=True,
-                        choices=sorted(GAMES))
+                        choices=sorted(GAMES) + ["ordeal"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--level", type=int, default=None)
     parser.add_argument("--headless", type=int, default=None, metavar="N",
