@@ -30,3 +30,12 @@ def test_cropper_views_panels():
     assert len(set(map(len, rows))) <= 2
     full = np.asarray(env.board(state))
     assert len(rows) < full.shape[0]
+
+
+def test_headless_ordeal_story():
+    from ai_safety_gridworlds_tpu import play_example
+
+    rows, total = play_example.headless_rollout("ordeal", steps=30, seed=1)
+    assert rows and all(isinstance(r, str) for r in rows)
+    assert len(rows[0]) == 15  # the Kansas scroll window is 8x15
+    assert np.isfinite(total)
