@@ -572,6 +572,40 @@ class AIntelopeSavanna(MaSafetyGridworld):
             self.observation_radius for _ in range(self.n_agents)
         ]
 
+        # Art-vs-flag top-up deficits (``aintelope_savanna.py:1226-1330``):
+        # with sustainability off, the reference's reset drape sweep spawns
+        # extra tiles whenever the level art carries FEWER of a resource
+        # than its ``amount_*`` flag (the flags are the source of truth;
+        # excess tiles are removed by ``tile_type_counts`` clamping). Host
+        # resets reproduce the sweep exactly (``_host_drape_phase``); the
+        # batched device/fused reset paths apply the same top-up at board
+        # build time instead (``sample_reset_options`` here,
+        # ``FusedSavanna.init_packed`` for the packed layouts). Deficits
+        # are static, so configs without a mismatch take no extra RNG.
+        self._reset_topup = []
+        if not cfg["sustainability_challenge"] and not self._resized:
+            for curtain_key, _, amount_flag, chr_, _ in _RESOURCES:
+                enabled = {
+                    "drink_curtain": self._has_drink,
+                    "food_curtain": self._has_food,
+                    "small_drink_curtain": self._has_small_drink,
+                    "small_food_curtain": self._has_small_food,
+                }[curtain_key]
+                use_metric = cfg[
+                    "use_drink_availability_metric_instead_of_spawning_tiles"
+                    if "drink" in curtain_key
+                    else
+                    "use_food_availability_metric_instead_of_spawning_tiles"
+                ]
+                if not enabled or use_metric:
+                    continue
+                art_count = int((self._base_board == ord(chr_)).sum())
+                deficit = int(cfg[amount_flag]) - min(
+                    art_count, int(cfg[amount_flag])
+                )
+                if deficit > 0:
+                    self._reset_topup.append((chr_, deficit))
+
     # ----------------------------------------------------------- reset
 
     def _board_to_state_fields(self, board: np.ndarray):
@@ -640,7 +674,33 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 board[r, c] = ord(GAP_CHR)
         board_j = jnp.asarray(board)
         if self.cfg["map_randomization_frequency"] >= 1:
-            board_j = shuffle_interior_device(board_j, key)
+            if self._reset_topup:  # keep legacy streams when no top-up
+                key, shuffle_key = jax.random.split(key)
+            else:
+                shuffle_key = key
+            board_j = shuffle_interior_device(board_j, shuffle_key)
+        # Art-vs-flag top-up (see ``_reset_topup`` in __init__): spawn the
+        # missing tiles onto random GAP cells. The host sweep's candidate
+        # set is any non-wall, non-player, non-same-resource cell — the
+        # single-code board cannot host overlapping curtains, so the
+        # device draw is restricted to free (GAP) cells; the distributions
+        # differ only when the sweep lands on an occupied cell.
+        for chr_, deficit in self._reset_topup:
+            key, spawn_key = jax.random.split(key)
+            gap = board_j == ord(GAP_CHR)
+            score = jnp.where(
+                gap, jax.random.uniform(spawn_key, board_j.shape), 2.0
+            )
+            kc = jnp.minimum(
+                jnp.int32(deficit), gap.sum().astype(jnp.int32)
+            )
+            flat = jnp.sort(score.ravel())
+            thresh = jnp.where(
+                kc > 0, jnp.take(flat, jnp.maximum(kc - 1, 0)), -1.0
+            )
+            board_j = jnp.where(
+                gap & (score <= thresh), jnp.uint8(ord(chr_)), board_j
+            )
         return {"board": board_j}
 
     def initial_state(self, key, options=None) -> SavannaState:
@@ -1704,9 +1764,11 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 # that only matters when the art's tile count mismatches
                 # the amount flag, where the reference's reset sweep tops
                 # the map up. The HOST path reproduces that
-                # (_host_drape_phase); the device/fused paths keep the
-                # art's counts static instead (PARITY.md), so curtains
-                # stay constant and fused statics remain valid.
+                # (_host_drape_phase); the device/fused paths apply the
+                # same top-up at board BUILD time instead
+                # (sample_reset_options / FusedSavanna.init_packed via
+                # _reset_topup), so per-step curtains stay constant here
+                # and fused statics remain valid.
                 # Device without-replacement choice via uniform ranking:
                 # the k cells with the smallest scores are selected.
                 current = curtain.sum().astype(jnp.int32)

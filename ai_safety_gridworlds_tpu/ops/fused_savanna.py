@@ -308,6 +308,25 @@ class FusedSavanna(FusedMaBase):
                 grid = boards.reshape(batch, *base.shape)
                 grid[:, 1:-1, 1:-1] = inner.reshape(batch, hi, wi)
                 boards = grid.reshape(batch, HW)
+            # Art-vs-flag top-up (``aintelope_savanna.py:1226-1330`` reset
+            # sweep; static deficits from ``env._reset_topup``): spawn the
+            # missing resource tiles onto random GAP cells per lane, same
+            # GAP-only restriction as the per-env device reset (the packed
+            # one-code-per-cell layout cannot host overlapping curtains).
+            for chr_, deficit in getattr(env, "_reset_topup", ()):
+                gap = boards == ord(GAP_CHR)
+                free = int(gap.sum(axis=1).min())
+                if free < deficit:
+                    raise ValueError(
+                        f"cannot top up {deficit} {chr(ord(chr_))!r} "
+                        f"tiles: a lane has only {free} free cells — "
+                        "reduce the amount_* flags or enlarge the map"
+                    )
+                score = np.where(gap, rng.random(boards.shape), 2.0)
+                pick = np.argpartition(score, deficit - 1, axis=1)[
+                    :, :deficit
+                ]
+                np.put_along_axis(boards, pick, ord(chr_), axis=1)
             return boards.T  # [HW, B]
 
         pools = [self._layout_statics(draw_boards()) for _ in range(K)]

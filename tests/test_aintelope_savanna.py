@@ -291,3 +291,31 @@ def test_lockstep_map_resize():
         level=1, amount_food_patches=1, map_width=8, map_height=8
     )
     run_lockstep(ref, ours, n_steps=100, seed=89)
+
+
+def test_lockstep_art_flag_topup():
+    # Level art carries 3 'F' but the flag asks for 4: the reference's
+    # reset drape sweep tops the map up with Generator draws; the host
+    # mirror must stay lockstep-exact through the spawn
+    # (``aintelope_savanna.py:1226-1330``; PARITY.md "art-vs-flag").
+    ref, ours = make_pair(amount_food_patches=4)
+    run_lockstep(ref, ours, n_steps=120, seed=301)
+
+
+def test_device_reset_art_flag_topup_counts():
+    # The batched device reset applies the same top-up at board build
+    # time: every episode starts with amount_* tiles, not the art's.
+    import jax
+
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+
+    env = AIntelopeSavanna(amount_food_patches=4, amount_drink_holes=5)
+    for s in range(4):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(s))
+        st = env.initial_state(k2, env.sample_reset_options(k1))
+        assert int(np.asarray(st.food_curtain).sum()) == 4, s
+        assert int(np.asarray(st.drink_curtain).sum()) == 5, s
+        assert float(np.asarray(st.food_avail)) == 4.0
+        assert float(np.asarray(st.drink_avail)) == 5.0

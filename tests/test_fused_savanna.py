@@ -348,3 +348,29 @@ def test_sustainability_with_layout_pool_bit_identity():
             np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
         )
     assert np.asarray(Sx["ep_idx"]).max() >= 1
+
+
+def test_fused_art_flag_topup_counts_and_equivalence():
+    """Art-vs-flag mismatched non-sustain config (art has 3 'F', flag asks
+    4): init_packed tops every lane's packed layout up to the flag counts
+    (PARITY.md "art-vs-flag"), and the fused kernel stays lockstep with
+    the per-env chain on the topped-up boards."""
+    env = AIntelopeSavanna(amount_food_patches=4, amount_drink_holes=5)
+    fused = FusedSavanna(env)
+    fused.init_packed(seed=31, batch=8)
+    food = np.asarray(fused._statics_np["food"])     # [HW, B]
+    drink = np.asarray(fused._statics_np["drink"])
+    np.testing.assert_array_equal(food.sum(axis=0), 4)
+    np.testing.assert_array_equal(drink.sum(axis=0), 5)
+    _run_equivalence(
+        AIntelopeSavanna(amount_food_patches=4, amount_drink_holes=5),
+        seed=33, steps=8,
+    )
+
+
+def test_fused_art_flag_topup_refuses_overfull_board():
+    """An amount flag the board cannot host fails loudly, not silently."""
+    env = AIntelopeSavanna(amount_food_patches=200)
+    fused = FusedSavanna(env)
+    with pytest.raises(ValueError, match="top up"):
+        fused.init_packed(seed=1, batch=4)
