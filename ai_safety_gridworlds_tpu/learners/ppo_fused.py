@@ -380,6 +380,30 @@ def make_sharded_train_step(
     dims = (fused.n, fused.POLICY_FEATURES,
             fused.amax - fused.amin + 1, int(fused.amin))
     statics_host = fused._statics_jnp()
+    # Compose-time shape validation: fail with actionable errors here,
+    # not with a shard_map/pallas shape mismatch deep in the first step.
+    n_dev = int(mesh.shape[axis])
+    B = getattr(fused, "packed_batch", None)
+    if B is not None:
+        if B % n_dev:
+            raise ValueError(
+                f"packed batch {B} is not divisible by the mesh "
+                f"'{axis}' axis ({n_dev} devices); init_packed with a "
+                "batch that is a multiple of the device count"
+            )
+        local = B // n_dev
+        if local % config.n_minibatches:
+            raise ValueError(
+                f"per-device lane shard {local} (batch {B} / {n_dev} "
+                f"devices) is not divisible by n_minibatches "
+                f"{config.n_minibatches}"
+            )
+        # rollout_collect clamps the tile to the (local) batch width.
+        if tile is not None and local % min(tile, local):
+            raise ValueError(
+                f"per-device lane shard {local} (batch {B} / {n_dev} "
+                f"devices) is not a multiple of the lane tile {tile}"
+            )
     lane_spec = P(None, axis)
     static_specs = {
         k: (lane_spec if v.shape[1] != 1 else P())

@@ -428,7 +428,14 @@ class FusedMaBase:
 
     def _rollout_pallas_call(self, S, statics, n_steps, tile, interpret):
         B = S["t"].shape[1]
-        assert B % tile == 0, "batch must be a multiple of the lane tile"
+        if B % tile:
+            raise ValueError(
+                f"lane count {B} is not a multiple of the lane tile "
+                f"{tile}; pick a tile that divides the batch (under "
+                "shard_map, the batch here is the PER-DEVICE lane shard "
+                "— batch // n_devices — so batch, device count, and tile "
+                "must compose)"
+            )
         grid = B // tile
         const_names = sorted(self.consts)
         # Derive the kernel inputs from the statics actually passed (the
@@ -628,7 +635,14 @@ class FusedMaBase:
         PPO collection (env physics + policy forward + sampling +
         emission) is ONE kernel per lane tile."""
         B = S["t"].shape[1]
-        assert B % tile == 0, "batch must be a multiple of the lane tile"
+        if B % tile:
+            raise ValueError(
+                f"lane count {B} is not a multiple of the lane tile "
+                f"{tile}; pick a tile that divides the batch (under "
+                "shard_map, the batch here is the PER-DEVICE lane shard "
+                "— batch // n_devices — so batch, device count, and tile "
+                "must compose)"
+            )
         grid = B // tile
         const_names = sorted(self.consts)
         static_names = sorted(statics)

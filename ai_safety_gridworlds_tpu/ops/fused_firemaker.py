@@ -235,6 +235,7 @@ class FusedFiremaker(FusedMaBase):
         # Subclass contract (fused_base): re-packing must invalidate the
         # memoized device statics (no packed statics today, but installed
         # policies ride the same cache).
+        self.packed_batch = int(batch)
         self._invalidate_device_cache()
         return state
 

@@ -292,6 +292,7 @@ class FusedIslandMa(FusedMaBase):
                 kstatics[key_ + f"_p{k}"] = v
         self.layout_pool = K
         self._kstatics_np = kstatics
+        self.packed_batch = int(batch)
         self._invalidate_device_cache()
         self._boards_np = pool_boards[0]
         self._boards_np_pool = pool_boards

@@ -383,6 +383,7 @@ class FusedSavanna(FusedMaBase):
         self.STATE_FIELDS = fields
         self._statics_np = statics
         self._kstatics_np = kstatics
+        self.packed_batch = int(batch)
         self._invalidate_device_cache()
         return state
 

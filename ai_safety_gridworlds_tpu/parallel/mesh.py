@@ -51,8 +51,20 @@ def make_mesh(
 ) -> Mesh:
     """Build a ('data', 'model') mesh over the available devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
     if n_data is None:
+        if devices.size < n_model:
+            raise ValueError(
+                f"n_model {n_model} exceeds the {devices.size} available "
+                "devices"
+            )
         n_data = devices.size // n_model
+    if n_data * n_model > devices.size:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices "
+            f"but only {devices.size} are available"
+        )
     devices = devices[: n_data * n_model].reshape(n_data, n_model)
     return Mesh(devices, ("data", "model"))
 

@@ -16,10 +16,15 @@ import functools
 import os
 import sys
 
+# Keep the GLOBAL mesh at 8 devices regardless of host count (2 hosts x 4
+# devices or 4 hosts x 2 devices): the per-device lane shard must stay
+# compatible with the fused-PPO minibatch split.
+_DEVICES_PER_PROC = max(1, 8 // int(sys.argv[2])) if len(sys.argv) > 2 else 4
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
+    + f" --xla_force_host_platform_device_count={_DEVICES_PER_PROC}"
 ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,7 +55,7 @@ def main():
         process_id=process_id,
     )
     assert jax.process_count() == num_processes
-    assert jax.device_count() == 4 * num_processes
+    assert jax.device_count() == _DEVICES_PER_PROC * num_processes
 
     mesh = multihost.make_global_mesh()
     env = IslandNavigation()

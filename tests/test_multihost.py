@@ -42,9 +42,9 @@ def _clean_env():
     return env
 
 
-def test_two_process_mesh(tmp_path):
+@pytest.mark.parametrize("n", [2, 4])
+def test_multi_process_mesh(tmp_path, n):
     port = _free_port()
-    n = 2
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(port), str(n), str(i),
@@ -72,7 +72,7 @@ def test_two_process_mesh(tmp_path):
     globals_ = [
         open(tmp_path / f"global_host{i}.txt").read() for i in range(n)
     ]
-    assert globals_[0] == globals_[1]
+    assert len(set(globals_)) == 1
 
     # The per-host CSV sinks partition the global lane space exactly.
     lanes = {}
@@ -86,6 +86,7 @@ def test_two_process_mesh(tmp_path):
             assert lane not in lanes, f"lane {lane} written twice"
             lanes[lane] = (i, fields)
     assert sorted(lanes) == list(range(16))
-    # Each host wrote its own contiguous half.
-    assert all(host == 0 for host, _ in (lanes[k] for k in range(8)))
-    assert all(host == 1 for host, _ in (lanes[k] for k in range(8, 16)))
+    # Each host wrote its own contiguous 16/n-lane block.
+    local = 16 // n
+    for k in range(16):
+        assert lanes[k][0] == k // local, (k, lanes[k][0])
