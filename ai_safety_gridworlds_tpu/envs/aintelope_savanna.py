@@ -541,6 +541,17 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 labels.append(f"SilverVisits_{c}")
         # de-dup availability labels keeping order
         self.metrics_keys = list(dict.fromkeys(labels))
+        # Upstream construction-time metric order: the savanna sprites
+        # write nothing during the init sweep, only the resource drapes
+        # save their availabilities (``aintelope_savanna.py:1226+``), so
+        # the upstream CSV permanently logs ONLY the availability metrics
+        # (used by the reference_csv_format compat mode).
+        self.reference_init_metrics_order = [
+            "DrinkAvailability",
+            "FoodAvailability",
+            "SmallDrinkAvailability",
+            "SmallFoodAvailability",
+        ]
 
         # Faithful quirk: the reference maps SMALL_DRINK to the same value as
         # FOOD (6.0) and starts agents at len(dict) == 11

@@ -254,6 +254,16 @@ class FiremakerExMa(MaSafetyGridworld):
             + [f"StopButtonVisits_{c}" for c in chars]
             + ["StopButtonPressCountdown"]
         )
+        # Upstream construction-time metric order (sprite ctors save the
+        # five visit metrics per agent, then the button drape saves the
+        # countdown); used by the reference_csv_format compat mode.
+        self.reference_init_metrics_order = [
+            f"{m}Visits_{c}"
+            for c in chars
+            for m in (
+                "External", "Internal", "Workshop", "Fire", "StopButton"
+            )
+        ] + ["StopButtonPressCountdown"]
 
         board0 = art.art_to_uint8(GAME_ART[self.level])
         self._orig_board = board0

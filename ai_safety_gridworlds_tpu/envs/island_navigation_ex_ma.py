@@ -374,6 +374,25 @@ class IslandNavigationExMa(MaSafetyGridworld):
             labels += [f"SilverVisits_{c}" for c in self.agent_chars]
         self.metrics_keys = labels
 
+        # Construction-time METRICS_DICT insertion order of the upstream
+        # class (sprite ctor visits -> init-sweep satiations -> drape
+        # availabilities; ``island_navigation_ex_ma.py:558-563,712-713,
+        # 794,838``): the upstream CSV writer freezes its metric columns
+        # to this order (used by the reference_csv_format compat mode).
+        self.reference_init_metrics_order = (
+            [
+                f"{m}Visits_{c}"
+                for c in self.agent_chars
+                for m in ("Gap", "Drink", "Food", "Gold", "Silver")
+            ]
+            + [
+                f"{s}Satiation_{c}"
+                for c in self.agent_chars
+                for s in ("Drink", "Food")
+            ]
+            + ["DrinkAvailability", "FoodAvailability"]
+        )
+
         board0 = art.art_to_uint8(art_rows)
         self._orig_board = board0
         self._apply_board(board0)

@@ -71,6 +71,7 @@ def _make_moma(env_cls):
             "log_filename_comment",
             "gzip_log",
             "flags_dict",
+            "reference_csv_format",
         )
         wrapper_kwargs = {
             k: kwargs.pop(k) for k in list(kwargs) if k in wrapper_keys

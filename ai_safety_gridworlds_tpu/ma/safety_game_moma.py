@@ -54,6 +54,15 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
     """Multi-agent shell over a :class:`MaSafetyGridworld`."""
 
     def __init__(self, game: MaSafetyGridworld, **kwargs):
+        # Opt-in byte-compatible CSV mode: reproduce the upstream MoMa
+        # writer's quirky layout (``safety_game_moma.py:901-981,1382-1487``)
+        # where dict-valued columns emit agent-NAME cells / dict reprs
+        # instead of flattened per-dimension values (PARITY.md "MoMa
+        # per-agent CSV columns"). Off by default: the flattened layout is
+        # the cleaner one.
+        self.reference_csv_format = bool(
+            kwargs.pop("reference_csv_format", False)
+        )
         self._agent_names = [c for c in game.agent_chars[: game.n_agents]]
         self._episode_returns = np.zeros(
             (game.n_agents, game.reward_space.n_dims), np.float64
@@ -430,7 +439,9 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         if self.log_columns and int(np.asarray(self._state.t)) > 0:
             f = self._statics.get("log_file_handle")
             if f:
-                self._write_ma_log_row(f, rewards_arr, observation)
+                self._write_ma_log_row(
+                    f, rewards_arr, observation, step_types
+                )
         return TimeStep(step_types, reward, discount, observation)
 
     # --------------------------------------------------------- CSV logging
@@ -441,6 +452,47 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             for a in self._agent_names
             for k in self.enabled_agents_reward_dimensions[a]
         ]
+
+    def _reference_int_typed_dims(self):
+        """Per agent: which reward dims every contributing constant keeps
+        INTEGER-valued. The upstream writer accumulates plain Python
+        numbers from the mo_reward constants, so such dims (and their
+        sums) print as ints in its dict-repr cells; fractional constants
+        (e.g. savanna's 0.5 SMALL extraction rates) make the dim print as
+        floats. Cached; used only by reference_csv_format."""
+        cached = getattr(self, "_ref_int_dims_cache", None)
+        if cached is not None:
+            return cached
+        enabled_ma = getattr(self._game, "enabled_ma_rewards", None)
+        out = {}
+        for a, keys in self.enabled_agents_reward_dimensions.items():
+            int_typed = {k: True for k in keys}
+            for mo in (enabled_ma or {}).get(a, []):
+                for k, v in mo._reward_dimensions_dict.items():
+                    if k in int_typed and not isinstance(v, int):
+                        int_typed[k] = False
+            out[a] = [int_typed[k] for k in keys]
+        self._ref_int_dims_cache = out
+        return out
+
+    @staticmethod
+    def _reference_py_number(v, int_typed):
+        """float64 cell -> the Python number upstream would hold: int for
+        untouched (0) or integer-typed dims, float otherwise."""
+        f = float(v)
+        if f == 0 or (int_typed and f.is_integer()):
+            return int(f)
+        return f
+
+    def _reference_metrics_keys(self):
+        """Metric columns as the upstream writer would freeze them at
+        construction (``safety_game_moma.py:327``): the game's
+        reference-init order filtered by the enabled metric set."""
+        order = getattr(self._game, "reference_init_metrics_order", None)
+        if order is None:
+            return self.metrics_keys
+        enabled = set(self.metrics_keys)
+        return [k for k in order if k in enabled]
 
     def _write_log_header(self, f):
         """Per-agent CSV header (``safety_game_moma.py:901-981``). Deviation
@@ -466,9 +518,16 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         )
 
         writer = _csv.writer(f, quoting=_csv.QUOTE_MINIMAL, delimiter=";")
+        ref_mode = self.reference_csv_format
         data = []
         for col in self.log_columns:
-            if col == LOG_REWARD:
+            if col in (
+                LOG_REWARD, LOG_CUMULATIVE_REWARD, LOG_AVERAGE_REWARD
+            ) and ref_mode:
+                # Upstream iterates the agent-keyed dict: one column per
+                # AGENT (``safety_game_moma.py:935-945``).
+                data += [col + "_" + a for a in self._agent_names]
+            elif col == LOG_REWARD:
                 data += self._agent_log_columns(LOG_REWARD)
             elif col == LOG_CUMULATIVE_REWARD:
                 data += self._agent_log_columns(LOG_CUMULATIVE_REWARD)
@@ -484,24 +543,45 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                 LOG_CUMULATIVE_MO_VARIANCE,
                 LOG_AVERAGE_MO_VARIANCE,
             ):
-                data += [col + "_" + a for a in self._agent_names]
+                if ref_mode:  # single dict-repr cell upstream
+                    data.append(col)
+                else:
+                    data += [col + "_" + a for a in self._agent_names]
             elif col == LOG_METRICS:
-                data += [LOG_METRICS + "_" + k for k in self.metrics_keys]
+                keys = (
+                    self._reference_metrics_keys()
+                    if ref_mode
+                    else self.metrics_keys
+                )
+                data += [LOG_METRICS + "_" + k for k in keys]
             elif col == LOG_QVALUES_PER_TILETYPE:
                 tile_types = self._environment_data.get(TILE_TYPES, [])
-                data += [
-                    LOG_QVALUES_PER_TILETYPE
-                    + "_" + a + "_" + t.strip() + "_" + k
-                    for a in self._agent_names
-                    for t in tile_types
-                    for k in self.enabled_agents_reward_dimensions[a]
-                ]
+                if ref_mode:
+                    # Upstream iterates TWO agent-keyed dicts here: its
+                    # TILE_TYPES is {agent: [tiles]} and dim_key iterates
+                    # enabled_agents_reward_dimensions — so the header is
+                    # agent x agent (``safety_game_moma.py:973-979``).
+                    data += [
+                        LOG_QVALUES_PER_TILETYPE
+                        + "_" + a1.strip() + "_" + a2
+                        for a1 in self._agent_names
+                        for a2 in self._agent_names
+                    ]
+                else:
+                    data += [
+                        LOG_QVALUES_PER_TILETYPE
+                        + "_" + a + "_" + t.strip() + "_" + k
+                        for a in self._agent_names
+                        for t in tile_types
+                        for k in self.enabled_agents_reward_dimensions[a]
+                    ]
             else:
                 data.append(col)
         writer.writerow(data)
         f.flush()
 
-    def _write_ma_log_row(self, f, rewards_arr, observation):
+    def _write_ma_log_row(self, f, rewards_arr, observation,
+                          step_types=None):
         import csv as _csv
         import datetime as _dt
 
@@ -541,6 +621,41 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             a: self._agent_reward_vector(rewards_arr[i], a)
             for i, a in enumerate(self._agent_names)
         }
+        ref_mode = self.reference_csv_format
+        if ref_mode:
+            # Upstream value semantics (``safety_game_moma.py:1287-1355``):
+            # per-step dicts SKIP dead agents; cumulative/average dicts
+            # keep every agent; dims are plain-Python float lists.
+            dead = int(StepType.DEAD)
+            alive = [
+                a for a in self._agent_names
+                if step_types is None or int(step_types[a]) != dead
+            ]
+            int_dims = self._reference_int_typed_dims()
+            conv = self._reference_py_number
+            reward_dims_f = {
+                a: [
+                    conv(v, t)
+                    for v, t in zip(per_agent_reward[a], int_dims[a])
+                ]
+                for a in alive
+            }
+            cum_dims = {
+                a: [
+                    conv(v, t)
+                    for v, t in zip(
+                        self._agent_reward_vector(
+                            self._episode_returns[i], a
+                        ),
+                        int_dims[a],
+                    )
+                ]
+                for i, a in enumerate(self._agent_names)
+            }
+            avg_dims = {
+                a: [x / (iteration + 1) for x in dims]
+                for a, dims in cum_dims.items()
+            }
         writer = _csv.writer(f, quoting=_csv.QUOTE_MINIMAL, delimiter=";")
         data = []
         for col in self.log_columns:
@@ -566,41 +681,77 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             elif col == LOG_ARGUMENTS:
                 data.append(str(self.log_arguments))
             elif col == LOG_REWARD:
-                for a in self._agent_names:
+                if ref_mode:
+                    # Upstream iterates the dict: agent-NAME cells
+                    # (``safety_game_moma.py:1422-1426``).
                     data += [
-                        self.format_float(v) for v in per_agent_reward[a]
+                        self.format_float(dim_value)
+                        for dim_value in reward_dims_f
                     ]
+                else:
+                    for a in self._agent_names:
+                        data += [
+                            self.format_float(v)
+                            for v in per_agent_reward[a]
+                        ]
             elif col == LOG_CUMULATIVE_REWARD:
-                cum = observation.get(CUMULATIVE_REWARD, {})
-                for a in self._agent_names:
+                if ref_mode:
                     data += [
-                        self.format_float(v)
-                        for v in np.atleast_1d(cum.get(a, []))
+                        self.format_float(dim_value)
+                        for dim_value in cum_dims
                     ]
+                else:
+                    cum = observation.get(CUMULATIVE_REWARD, {})
+                    for a in self._agent_names:
+                        data += [
+                            self.format_float(v)
+                            for v in np.atleast_1d(cum.get(a, []))
+                        ]
             elif col == LOG_AVERAGE_REWARD:
-                avg = observation.get(AVERAGE_REWARD, {})
-                for a in self._agent_names:
+                if ref_mode:
                     data += [
-                        self.format_float(v)
-                        for v in np.atleast_1d(avg.get(a, []))
+                        self.format_float(dim_value)
+                        for dim_value in avg_dims
                     ]
+                else:
+                    avg = observation.get(AVERAGE_REWARD, {})
+                    for a in self._agent_names:
+                        data += [
+                            self.format_float(v)
+                            for v in np.atleast_1d(avg.get(a, []))
+                        ]
             elif col == LOG_SCALAR_REWARD:
-                data += [
-                    self.format_float(per_agent_reward[a].sum())
-                    for a in self._agent_names
-                ]
+                if ref_mode:
+                    data.append(self.format_float(
+                        {a: sum(reward_dims_f[a]) for a in alive}
+                    ))
+                else:
+                    data += [
+                        self.format_float(per_agent_reward[a].sum())
+                        for a in self._agent_names
+                    ]
             elif col == LOG_SCALAR_CUMULATIVE_REWARD:
-                cum = observation.get(CUMULATIVE_REWARD, {})
-                data += [
-                    self.format_float(np.sum(cum.get(a, 0.0)))
-                    for a in self._agent_names
-                ]
+                if ref_mode:
+                    data.append(self.format_float(
+                        {a: sum(d) for a, d in cum_dims.items()}
+                    ))
+                else:
+                    cum = observation.get(CUMULATIVE_REWARD, {})
+                    data += [
+                        self.format_float(np.sum(cum.get(a, 0.0)))
+                        for a in self._agent_names
+                    ]
             elif col == LOG_SCALAR_AVERAGE_REWARD:
-                avg = observation.get(AVERAGE_REWARD, {})
-                data += [
-                    self.format_float(np.sum(avg.get(a, 0.0)))
-                    for a in self._agent_names
-                ]
+                if ref_mode:
+                    data.append(self.format_float(
+                        {a: sum(d) for a, d in avg_dims.items()}
+                    ))
+                else:
+                    avg = observation.get(AVERAGE_REWARD, {})
+                    data += [
+                        self.format_float(np.sum(avg.get(a, 0.0)))
+                        for a in self._agent_names
+                    ]
             elif col in (
                 LOG_GINI_INDEX,
                 LOG_CUMULATIVE_GINI_INDEX,
@@ -608,32 +759,76 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                 LOG_CUMULATIVE_MO_VARIANCE,
                 LOG_AVERAGE_MO_VARIANCE,
             ):
-                obs_key = {
-                    LOG_GINI_INDEX: GINI_INDEX,
-                    LOG_CUMULATIVE_GINI_INDEX: CUMULATIVE_GINI_INDEX,
-                    LOG_MO_VARIANCE: MO_VARIANCE,
-                    LOG_CUMULATIVE_MO_VARIANCE: CUMULATIVE_MO_VARIANCE,
-                    LOG_AVERAGE_MO_VARIANCE: AVERAGE_MO_VARIANCE,
-                }[col]
-                values = observation.get(obs_key, {})
-                data += [
-                    self.format_float(values.get(a, 0.0))
-                    for a in self._agent_names
-                ]
+                if ref_mode:
+                    # One str(dict) cell per column, dead agents skipped
+                    # (``safety_game_moma.py:1330-1356,1444-1460``).
+                    src = {
+                        LOG_GINI_INDEX: {
+                            a: gini_coefficient(reward_dims_f[a]) * 100
+                            for a in alive
+                        },
+                        LOG_CUMULATIVE_GINI_INDEX: {
+                            a: gini_coefficient(cum_dims[a]) * 100
+                            for a in alive
+                        },
+                        LOG_MO_VARIANCE: {
+                            a: np.var(reward_dims_f[a], ddof=0)
+                            for a in alive
+                        },
+                        LOG_CUMULATIVE_MO_VARIANCE: {
+                            a: np.var(cum_dims[a], ddof=0) for a in alive
+                        },
+                        LOG_AVERAGE_MO_VARIANCE: {
+                            a: np.var(avg_dims[a], ddof=0) for a in alive
+                        },
+                    }[col]
+                    data.append(self.format_float(src))
+                else:
+                    obs_key = {
+                        LOG_GINI_INDEX: GINI_INDEX,
+                        LOG_CUMULATIVE_GINI_INDEX: CUMULATIVE_GINI_INDEX,
+                        LOG_MO_VARIANCE: MO_VARIANCE,
+                        LOG_CUMULATIVE_MO_VARIANCE: CUMULATIVE_MO_VARIANCE,
+                        LOG_AVERAGE_MO_VARIANCE: AVERAGE_MO_VARIANCE,
+                    }[col]
+                    values = observation.get(obs_key, {})
+                    data += [
+                        self.format_float(values.get(a, 0.0))
+                        for a in self._agent_names
+                    ]
             elif col == LOG_METRICS:
                 metrics = self._current_metrics()
+                keys = (
+                    self._reference_metrics_keys()
+                    if ref_mode
+                    else self.metrics_keys
+                )
                 data += [
                     self.format_float(metrics.get(k, None))
-                    for k in self.metrics_keys
+                    for k in keys
                 ]
             elif col == LOG_QVALUES_PER_TILETYPE:
                 tile_types = self._environment_data.get(TILE_TYPES, [])
-                for a in self._agent_names:
-                    n_dims = len(self.enabled_agents_reward_dimensions[a])
-                    agent_q = self.q_value_per_tiletype.get(a, {})
-                    for t in tile_types:
-                        q = agent_q.get(t, np.zeros([n_dims]))
+                if ref_mode:
+                    # Upstream iterates its agent-keyed TILE_TYPES dict:
+                    # with q-values supplied the lookup HITS the agent's
+                    # {tile: vec} store and the cells become TILE-CHAR
+                    # strings; without, it yields len(alive) zeros per
+                    # agent (``safety_game_moma.py:1473-1484``).
+                    for a in self._agent_names:
+                        q = self.q_value_per_tiletype.get(
+                            a, np.zeros([len(reward_dims_f)])
+                        )
                         data += [self.format_float(v) for v in q]
+                else:
+                    for a in self._agent_names:
+                        n_dims = len(
+                            self.enabled_agents_reward_dimensions[a]
+                        )
+                        agent_q = self.q_value_per_tiletype.get(a, {})
+                        for t in tile_types:
+                            q = agent_q.get(t, np.zeros([n_dims]))
+                            data += [self.format_float(v) for v in q]
         writer.writerow(data)
         f.flush()
 

@@ -19,7 +19,8 @@ from ai_safety_gridworlds_tpu.mo.map_randomization import (
 )
 
 
-def make_pair(**kwargs):
+def make_pair(wrapper_kwargs=None, ref_overrides=None, our_overrides=None,
+              **kwargs):
     if not conftest.reference_available():
         pytest.skip("reference not mounted")
     conftest.add_reference_to_path()
@@ -87,8 +88,20 @@ def make_pair(**kwargs):
         flags_obj.randomize_agent_actions_order = ref_kwargs.pop(
             "randomize_agent_actions_order"
         )
-    ref = RefSavanna(FLAGS=flags_obj, **ref_kwargs)
-    ours = SafetyEnvironmentMoMa(AIntelopeSavanna(**kwargs))
+    # wrapper_kwargs (log_columns, log_dir, ...) go to the stateful shell
+    # on our side and straight into the reference ctor (which IS the
+    # shell); our-side-only keys (reference_csv_format) stay ours.
+    wrapper_kwargs = dict(wrapper_kwargs or {})
+    ref_wrapper_kwargs = {
+        k: v for k, v in wrapper_kwargs.items()
+        if k != "reference_csv_format"
+    }
+    ref_wrapper_kwargs.update(ref_overrides or {})
+    our_wrapper_kwargs = dict(wrapper_kwargs, **(our_overrides or {}))
+    ref = RefSavanna(FLAGS=flags_obj, **ref_kwargs, **ref_wrapper_kwargs)
+    ours = SafetyEnvironmentMoMa(
+        AIntelopeSavanna(**kwargs), **our_wrapper_kwargs
+    )
     return ref, ours
 
 

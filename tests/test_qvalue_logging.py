@@ -165,3 +165,106 @@ def test_gini_coefficient_matches_reference():
         assert float(ref_gini(v)) == pytest.approx(
             float(gini_coefficient(v)), abs=1e-12
         ), v
+
+
+@__import__("pytest").mark.parametrize(
+    "family,env_kwargs",
+    [
+        ("savanna", dict(amount_agents=2, level=13)),
+        # Fractional 0.5 SMALL extraction rates: float-typed dims must
+        # print as Python floats in the dict-repr cells, int dims as ints.
+        ("savanna", dict(amount_agents=2, level=13,
+                         amount_small_food_patches=2,
+                         amount_small_drink_holes=1)),
+        # Different init-metric ordering (sprite-ctor visit metrics) and
+        # richer per-agent dims.
+        ("island", dict(level=3)),
+    ],
+)
+def test_moma_reference_csv_format_byte_differential(
+    tmp_path, family, env_kwargs
+):
+    """reference_csv_format=True reproduces the upstream MoMa CSV writer
+    BYTE-FOR-BYTE on a lockstepped run (PARITY.md "MoMa per-agent CSV
+    columns" made opt-in): agent-name cells for dict-iterated reward
+    columns, str(dict) cells for scalar/gini/variance columns, and the
+    all-zero tiletype-qvalue quirk. Timestamp/environment/arguments
+    columns are excluded (machine-dependent by design)."""
+    import importlib
+    import os
+    import sys
+
+    import conftest
+
+    if not conftest.reference_available():
+        import pytest
+
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    t = importlib.import_module("test_aintelope_savanna")
+
+    from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
+        LOG_AVERAGE_MO_VARIANCE,
+        LOG_AVERAGE_REWARD,
+        LOG_CUMULATIVE_GINI_INDEX,
+        LOG_CUMULATIVE_MO_VARIANCE,
+        LOG_EPISODE,
+        LOG_MO_VARIANCE,
+        LOG_SCALAR_AVERAGE_REWARD,
+        LOG_SCALAR_CUMULATIVE_REWARD,
+    )
+
+    columns = [
+        LOG_EPISODE,
+        LOG_ITERATION,
+        LOG_REWARD,
+        LOG_SCALAR_REWARD,
+        LOG_CUMULATIVE_REWARD,
+        "average_reward",
+        LOG_SCALAR_CUMULATIVE_REWARD,
+        LOG_SCALAR_AVERAGE_REWARD,
+        LOG_GINI_INDEX,
+        LOG_CUMULATIVE_GINI_INDEX,
+        LOG_MO_VARIANCE,
+        LOG_CUMULATIVE_MO_VARIANCE,
+        LOG_AVERAGE_MO_VARIANCE,
+        LOG_METRICS,
+        LOG_QVALUES_PER_TILETYPE,
+    ]
+    assert LOG_AVERAGE_REWARD == "average_reward"
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+    wrapper_kwargs = dict(
+        log_columns=list(columns),
+        log_arguments_to_separate_file=True,
+        reference_csv_format=True,
+    )
+    if family == "island":
+        t = importlib.import_module("test_island_navigation_ex_ma")
+    ref, ours = t.make_pair(
+        wrapper_kwargs=wrapper_kwargs,
+        ref_overrides=dict(log_dir=str(ref_dir)),
+        our_overrides=dict(log_dir=str(our_dir)),
+        **env_kwargs,
+    )
+
+    # Log files open on reset-while-FIRST on both sides: one priming
+    # reset, then the lockstep run (which resets again internally).
+    ref.reset()
+    ours.reset()
+    t.run_lockstep(ref, ours, n_steps=40, seed=214)
+    if hasattr(ref, "close"):
+        ref.close()
+    ours.close()
+
+    ref_csv = sorted(glob.glob(str(ref_dir) + "/**/*.csv", recursive=True))
+    our_csv = sorted(glob.glob(str(our_dir) + "/**/*.csv", recursive=True))
+    assert ref_csv and our_csv, (ref_csv, our_csv)
+    ref_lines = open(ref_csv[0]).read().splitlines()
+    our_lines = open(our_csv[0]).read().splitlines()
+    assert len(ref_lines) == len(our_lines) > 5
+    for i, (rl, ol) in enumerate(zip(ref_lines, our_lines)):
+        assert rl == ol, f"line {i}:\nref : {rl}\nours: {ol}"
+
