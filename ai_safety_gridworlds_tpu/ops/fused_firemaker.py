@@ -81,7 +81,14 @@ class FusedFiremaker(FusedMaBase):
     # external-fire count, episode progress.
     POLICY_FEATURES = 6
 
-    def __init__(self, env):
+    def __init__(self, env, ablate=()):
+        # Measurement-only ablations (``tools/firemaker_roofline.py``;
+        # docs/KERNELS.md roofline): "prf" replaces the per-cell fire
+        # uniform with a constant, "stencil" replaces the spread product
+        # with a trivial per-cell term, "onehot" zeroes the per-agent
+        # tile-code reductions. Each BREAKS env semantics — never enable
+        # outside cost attribution runs.
+        self._ablate = frozenset(ablate)
         self.adm = int(env.action_direction_mode)
         self.odm = int(env.observation_direction_mode)
         if self.odm == 2 and self.adm == 0:
@@ -423,10 +430,16 @@ class FusedFiremaker(FusedMaBase):
             # dynamic fire bit) recovers every tile property needed below —
             # replacing the ~n+8 separate masked any() reductions.
             dyn_code = consts["code"] + 64.0 * fire
-            v_agents = [
-                jnp.sum(agent_oh[j] * dyn_code, axis=0, keepdims=True)
-                for j in range(n)
-            ]
+            if "onehot" in self._ablate:  # cost-attribution only
+                v_agents = [
+                    jnp.zeros((1,) + actions.shape[1:], _F32)
+                    for _ in range(n)
+                ]
+            else:
+                v_agents = [
+                    jnp.sum(agent_oh[j] * dyn_code, axis=0, keepdims=True)
+                    for j in range(n)
+                ]
 
             def bit(v, k):
                 m = jnp.floor(v * _F32(1.0 / (1 << k)))
@@ -523,29 +536,35 @@ class FusedFiremaker(FusedMaBase):
                 src_j = agent_oh[j] & at_w_rows[j] & (countdown2 == 0)
                 sources = sources | src_j
             src_f = sources.astype(_F32)
-            # Separable stencil: one roll per distinct column offset, one
-            # per row group (8 rolls vs 24 per-offset rolls).
-            shifted = {
-                dc: (jnp.roll(src_f, dc, axis=0) if dc else src_f)
-                for dc in self.spread_dcs
-            }
-            prod = None
-            for dr, terms in self.spread_rows:
-                y = None
-                for dc, p_off in terms:
-                    f_term = 1.0 - p_off * shifted[dc]
-                    y = f_term if y is None else y * f_term
-                y = jnp.roll(y, dr * self.w, axis=0) if dr else y
-                prod = y if prod is None else prod * y
-            cum = 1.0 - prod
+            if "stencil" in self._ablate:  # cost-attribution only
+                cum = src_f * 0.01
+            else:
+                # Separable stencil: one roll per distinct column offset,
+                # one per row group (8 rolls vs 24 per-offset rolls).
+                shifted = {
+                    dc: (jnp.roll(src_f, dc, axis=0) if dc else src_f)
+                    for dc in self.spread_dcs
+                }
+                prod = None
+                for dr, terms in self.spread_rows:
+                    y = None
+                    for dc, p_off in terms:
+                        f_term = 1.0 - p_off * shifted[dc]
+                        y = f_term if y is None else y * f_term
+                    y = jnp.roll(y, dr * self.w, axis=0) if dr else y
+                    prod = y if prod is None else prod * y
+                cum = 1.0 - prod
             eligible = ~fire_cleared & spreadable
             cum = jnp.where(eligible, cum, 0.0)
             # Spread-eligible cells (~fire_cleared) and burning cells
             # (fire_cleared) are disjoint, so one per-cell uniform serves
             # both Bernoulli draws.
-            u_fire = prng.uniform(
-                key_hi, key_lo, ctr0 + np.uint32(2 + slot), iota_hw
-            )
+            if "prf" in self._ablate:  # cost-attribution only
+                u_fire = 0.5 + 0.0 * src_f
+            else:
+                u_fire = prng.uniform(
+                    key_hi, key_lo, ctr0 + np.uint32(2 + slot), iota_hw
+                )
             spread_cells = cum > 0.0
             spread_set = u_fire < cum
             cont_keep = u_fire < self.cont_p

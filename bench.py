@@ -63,9 +63,11 @@ REFERENCE_STEPS_PER_SEC = {
     "aintelope_savanna": 1.251e3,
     "aintelope_savanna_sustain": 1.251e3,
     "island_navigation_ex_ma": 964.0,
-    # Training config: vs the same env's reference single-stream step rate
-    # (the reference ships no learner at all).
+    # Training configs: vs the same env's reference single-stream step
+    # rate (the reference ships no learner at all).
     "ppo_island_ma_train": 964.0,
+    "ppo_firemaker_train": 607.0,
+    "ppo_savanna_train": 1.251e3,
 }
 
 
@@ -132,6 +134,24 @@ def bench_generic_ma(game, batch=1024, n_steps=128, n_reps=3):
         jax.block_until_ready(stats)
         rates.append(batch * n_steps / (time.perf_counter() - t0))
     return _spread(rates)
+
+
+def emit_safe(name, thunk, extra=None, batch=BATCH):
+    """emit() a config measured by ``thunk()``, converting a per-config
+    failure (e.g. a VMEM OOM at an untested tile on new silicon) into a
+    stderr note instead of killing the remaining configs."""
+    import sys
+    import traceback
+
+    try:
+        spread = thunk()
+    except Exception:
+        print(
+            f"bench config {name} failed:\n{traceback.format_exc()}",
+            file=sys.stderr, flush=True,
+        )
+        return None
+    return emit(name, spread, extra=extra, batch=batch)
 
 
 def emit(name, spread, extra=None, batch=BATCH):
@@ -281,15 +301,29 @@ def _worker():
 
     # End-to-end TRAINING throughput: the packed-native fused-PPO update
     # (pallas collection kernel + GAE + minibatch epochs, one jitted
-    # program) in env-steps/s including the optimizer.
-    emit(
+    # program) in env-steps/s including the optimizer — on ALL THREE MA
+    # kernels (their collection paths behave differently: island's
+    # trajectory blocks tolerate tile 256; firemaker's 17x17 board at
+    # tile<=128 and savanna's drape-phase state are their own regimes).
+    emit_safe(
         "ppo_island_ma_train",
-        bench_ppo_fused(IslandNavigationExMa(), FusedIslandMa),
+        lambda: bench_ppo_fused(IslandNavigationExMa(), FusedIslandMa),
+        extra={"kernel": "fused_pallas+ppo"},
+    )
+    emit_safe(
+        "ppo_firemaker_train",
+        lambda: bench_ppo_fused(FiremakerExMa(), FusedFiremaker, tile=64),
+        extra={"kernel": "fused_pallas+ppo"},
+    )
+    emit_safe(
+        "ppo_savanna_train",
+        lambda: bench_ppo_fused(AIntelopeSavanna(), FusedSavanna,
+                                tile=128),
         extra={"kernel": "fused_pallas+ppo"},
     )
 
 
-def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS):
+def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS, tile=256):
     import jax.numpy as jnp
 
     from ai_safety_gridworlds_tpu.learners import ppo_fused
@@ -300,9 +334,11 @@ def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS):
     state = ppo_fused.init_train_state(
         fused, jax.random.PRNGKey(0), batch_size=BATCH, config=config
     )
-    # tile 256: the time-chunked trajectory outputs ([n_steps, rows, tile]
-    # VMEM blocks) OOM scoped vmem at island's rollout-only optimum 1024.
-    train_step = ppo_fused.make_train_step(fused, config=config, tile=256)
+    # Default tile 256: the time-chunked trajectory outputs
+    # ([n_steps, rows, tile] VMEM blocks) OOM scoped vmem at island's
+    # rollout-only optimum 1024; firemaker/savanna carry larger per-lane
+    # state and need smaller collection tiles still.
+    train_step = ppo_fused.make_train_step(fused, config=config, tile=tile)
     state, metrics = train_step(state)  # compile + warm-up
     jax.block_until_ready(metrics)
 
