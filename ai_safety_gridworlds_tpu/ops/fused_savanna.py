@@ -94,7 +94,15 @@ class FusedSavanna(FusedMaBase):
     # distances, observation-direction one-hot.
     POLICY_FEATURES = 10
 
-    def __init__(self, env):
+    def __init__(self, env, ablate=()):
+        # Measurement-only ablations (``tools/savanna_sustain_sweep.py``;
+        # docs/KERNELS.md sustain-phase analysis): "extract" skips the
+        # merged removal/spawn argmin-extraction unroll, "regrowth"
+        # replaces the power-law regrowth (exp/log transcendentals) with
+        # identity, "prf" replaces the per-cell score hash with the cell
+        # index. Each BREAKS env semantics — never enable outside cost
+        # attribution runs.
+        self._ablate = frozenset(ablate)
         self.env = env
         self.n = env.n_agents
         self.D = env.reward_space.n_dims
@@ -966,69 +974,105 @@ class FusedSavanna(FusedMaBase):
                         (t > 0) & ~on_any & (av >= 1.0)
                         & (av < _F32(spec["cond_limit"]))
                     )
-                    grown = jnp.minimum(
-                        _F32(spec["growth_limit"]),
-                        jnp.exp(
-                            _F32(float(cfg["DRINK_REGROWTH_EXPONENT"]))
-                            * jnp.log(av + 1.0)
-                        ),
-                    )
-                    grown = jnp.minimum(grown, pooled("usable_half"))
+                    if "regrowth" in self._ablate:  # cost-attribution only
+                        grown = av + 1.0
+                    else:
+                        grown = jnp.minimum(
+                            _F32(spec["growth_limit"]),
+                            jnp.exp(
+                                _F32(float(cfg["DRINK_REGROWTH_EXPONENT"]))
+                                * jnp.log(av + 1.0)
+                            ),
+                        )
+                        grown = jnp.minimum(grown, pooled("usable_half"))
                     av_new = jnp.where(can_grow, grown, av)
                     av_int = jnp.ceil(av_new)
                     if not spec["use_metric"]:
-                        # One hash word per cell serves removal (curtain
-                        # cells) and spawn (free cells) — disjoint sets.
-                        u = prng.uniform(
-                            key_hi, key_lo,
-                            ctr0 + np.uint32(slot_base + 1 + r_idx),
-                            iota_hw,
-                        )
+                        # Merged removal/spawn extraction. Per lane per
+                        # sub-step, availability either FELL (need>0 →
+                        # remove) or ROSE (grow>0 → spawn), never both:
+                        # k_rem statically covers the worst-case fall, so
+                        # the removal picks always reach av_int, zeroing
+                        # grow. The two unrolls therefore share ONE loop
+                        # of max(k_rem, k_spawn) argmin extractions over a
+                        # per-lane-selected score plane (r4 sweep: the two
+                        # separate loops were ~72% of the sustain step).
+                        #
+                        # Tie-free INTEGER scores: one PRF word per cell;
+                        # the top 20 bits rank cells (uniform), the low 9
+                        # bits embed the cell index, so scores are
+                        # DISTINCT within a lane — every extraction picks
+                        # exactly one cell and the remaining-count update
+                        # is a [1,B] subtract instead of a second
+                        # full-board sum reduction (halves the reductions
+                        # per iteration). Reference two-pass removal order
+                        # (non-player curtain cells first,
+                        # aintelope_savanna.py drape maintenance) keeps
+                        # its +OFF_PLAYER offset; SENT marks
+                        # non-candidates. Selection stays distributionally
+                        # faithful, not draw-for-draw (PARITY.md).
+                        if "prf" in self._ablate:  # cost-attribution only
+                            bits = jnp.broadcast_to(
+                                jnp.asarray(iota_hw, jnp.uint32), cur_f.shape
+                            )
+                        else:
+                            bits = prng.hash_u32(
+                                key_hi, key_lo,
+                                ctr0 + np.uint32(slot_base + 1 + r_idx),
+                                iota_hw,
+                            )
+                        base = (
+                            ((bits >> np.uint32(12)) << np.uint32(9))
+                            | jnp.asarray(iota_hw, jnp.uint32)
+                        ).astype(jnp.int32)  # distinct per cell, < 2**29
+                        OFF_PLAYER = np.int32(1 << 29)
+                        SENT = np.int32(1 << 30)
                         current = jnp.sum(cur_f, axis=0, keepdims=True)
                         need = jnp.maximum(current - av_int, 0.0)
-                        # Removal: non-player cells first, then player
-                        # cells (reference two-pass semantics) — collapsed
-                        # into ONE run of K argmin extractions by offsetting
-                        # player-cell scores +1, so they only win the min
-                        # once every non-player score (< 1) is exhausted.
-                        # Same without-replacement order class, half the
-                        # reductions. Sentinel 3.0 marks non-curtain cells.
-                        scores = jnp.where(
-                            cur_f > 0.5,
-                            u + player_cells.astype(_F32),
-                            3.0,
-                        )
-                        for _ in range(spec["k_rem"]):
-                            minv = jnp.min(scores, axis=0, keepdims=True)
-                            pick = (
-                                (scores <= minv) & (minv < 2.5)
-                                & (need > 0.5)
-                            )
-                            pickf = pick.astype(_F32)
-                            cur_f = cur_f - pickf
-                            scores = jnp.where(pick, 3.0, scores)
-                            need = need - jnp.sum(
-                                pickf, axis=0, keepdims=True
-                            )
-                        # Spawn onto free non-wall, non-player cells.
-                        current = jnp.sum(cur_f, axis=0, keepdims=True)
                         grow = jnp.maximum(av_int - current, 0.0)
-                        scores = jnp.where(
+                        removing = need > 0.5
+                        count = jnp.where(removing, need, grow)
+                        sign = jnp.where(removing, _F32(-1), _F32(1))
+                        rem_scores = jnp.where(
+                            cur_f > 0.5,
+                            base + jnp.where(
+                                player_cells, OFF_PLAYER, np.int32(0)
+                            ),
+                            SENT,
+                        )
+                        spawn_scores = jnp.where(
                             (cur_f < 0.5)
                             & (wall_f < 0.5) & ~player_cells,
-                            u, 2.0,
+                            base, SENT,
                         )
-                        for _ in range(spec["k_spawn"]):
-                            minv = jnp.min(scores, axis=0, keepdims=True)
-                            pick = (
-                                (scores <= minv) & (minv < 1.5)
-                                & (grow > 0.5)
+                        scores = jnp.where(
+                            removing, rem_scores, spawn_scores
+                        )
+                        # Valid-pick bound: removal may take player cells
+                        # (< SENT); spawn candidates are all < OFF_PLAYER.
+                        thresh = jnp.where(removing, SENT, OFF_PLAYER)
+                        k_iter = (
+                            0 if "extract" in self._ablate  # attribution
+                            else max(spec["k_rem"], spec["k_spawn"])
+                        )
+                        # The loop only finds the CUTOFF score tau (the
+                        # count-th smallest candidate, or the last valid
+                        # one): a masked-min chain touching the board
+                        # twice per iteration. The curtain itself updates
+                        # ONCE afterwards — picked set == {score <= tau}.
+                        tau = jnp.full_like(thresh, np.int32(-1))
+                        masked = scores
+                        for _ in range(k_iter):
+                            minv = jnp.min(masked, axis=0, keepdims=True)
+                            valid = (minv < thresh) & (count > 0.5)
+                            tau = jnp.where(valid, minv, tau)
+                            masked = jnp.where(
+                                masked == minv, SENT, masked
                             )
-                            pickf = pick.astype(_F32)
-                            cur_f = cur_f + pickf
-                            scores = jnp.where(pick, 2.0, scores)
-                            grow = grow - jnp.sum(
-                                pickf, axis=0, keepdims=True
+                            count = count - valid.astype(_F32)
+                        if k_iter:
+                            cur_f = cur_f + jnp.where(
+                                scores <= tau, sign, _F32(0)
                             )
                     # Commit only for acting lanes.
                     res[name] = jnp.where(acting, cur_f, res[name])

@@ -265,12 +265,14 @@ def _worker():
         extra={"kernel": "fused_pallas"},
     )
     # Sustainability challenge: dynamic in-kernel resource curtains
-    # (previously a generic-path fallback; now fused).
+    # (previously a generic-path fallback; now fused). Tile 512 per the
+    # r4 on-chip sweep (tools/savanna_sustain_sweep.py): the r3 reading
+    # at tile 128 was 2.7x below the same code at 512.
     emit(
         "aintelope_savanna_sustain",
         bench_fused(
             FusedSavanna(AIntelopeSavanna(sustainability_challenge=True)),
-            tile=128,
+            tile=512,
         ),
         extra={"kernel": "fused_pallas"},
     )
@@ -312,7 +314,8 @@ def _worker():
     )
     emit_safe(
         "ppo_firemaker_train",
-        lambda: bench_ppo_fused(FiremakerExMa(), FusedFiremaker, tile=64),
+        lambda: bench_ppo_fused(FiremakerExMa(), FusedFiremaker,
+                                tile=128),
         extra={"kernel": "fused_pallas+ppo"},
     )
     emit_safe(

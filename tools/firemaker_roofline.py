@@ -72,9 +72,9 @@ def main():
 
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
 
-    # 1. tile sweep
+    # 1. tile sweep (Mosaic requires the lane block dim divisible by 128)
     best_tile, best_rate = None, 0.0
-    for tile in (32, 64, 128, 256):
+    for tile in (128, 256, 512):
         out = measure(FusedFiremaker(FiremakerExMa()), B, T, tile)
         print(json.dumps({"config": f"tile_{tile}", **out}), flush=True)
         if out["steps_per_sec"] > best_rate:
