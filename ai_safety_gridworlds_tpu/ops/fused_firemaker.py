@@ -141,12 +141,19 @@ class FusedFiremaker(FusedMaBase):
         # roll(roll(x, dc), dr*W), so rolling the source once per distinct
         # column offset and each row-group's weighted sum once per distinct
         # row offset needs |dc|+|dr| rolls (8 for the 5x5 stencil) instead
-        # of one per offset (24).
+        # of one per offset (24). Rows with IDENTICAL term lists share one
+        # row polynomial: the 5x5 stencil is symmetric in dr, so ±dr rows
+        # are the same un-rolled board — 3 distinct polynomials instead of
+        # 5 (r4 roofline: the stencil was 33% of step time; this cuts its
+        # term work ~36% bit-identically).
         rows: dict = {}
         for dr, dc, p in env._spread_offsets:
             rows.setdefault(dr, []).append((dc, float(p)))
         self.spread_rows = sorted(
-            (dr, sorted(terms)) for dr, terms in rows.items()
+            (dr, tuple(sorted(terms))) for dr, terms in rows.items()
+        )
+        self.spread_polys = sorted(
+            {terms for _, terms in self.spread_rows}
         )
         self.spread_dcs = sorted(
             {dc for _, dc, _ in env._spread_offsets}
@@ -540,17 +547,25 @@ class FusedFiremaker(FusedMaBase):
                 cum = src_f * 0.01
             else:
                 # Separable stencil: one roll per distinct column offset,
-                # one per row group (8 rolls vs 24 per-offset rolls).
+                # one per row group (8 rolls vs 24 per-offset rolls);
+                # each DISTINCT row polynomial computed once and rolled to
+                # every row offset that uses it (±dr symmetry: 3 polys,
+                # not 5). Row multiplication order is unchanged, so the
+                # result is bit-identical to the per-row form.
                 shifted = {
                     dc: (jnp.roll(src_f, dc, axis=0) if dc else src_f)
                     for dc in self.spread_dcs
                 }
-                prod = None
-                for dr, terms in self.spread_rows:
+                polys = {}
+                for terms in self.spread_polys:
                     y = None
                     for dc, p_off in terms:
                         f_term = 1.0 - p_off * shifted[dc]
                         y = f_term if y is None else y * f_term
+                    polys[terms] = y
+                prod = None
+                for dr, terms in self.spread_rows:
+                    y = polys[terms]
                     y = jnp.roll(y, dr * self.w, axis=0) if dr else y
                     prod = y if prod is None else prod * y
                 cum = 1.0 - prod

@@ -75,7 +75,13 @@ def main():
     # 1. tile sweep (Mosaic requires the lane block dim divisible by 128)
     best_tile, best_rate = None, 0.0
     for tile in (128, 256, 512):
-        out = measure(FusedFiremaker(FiremakerExMa()), B, T, tile)
+        try:
+            out = measure(FusedFiremaker(FiremakerExMa()), B, T, tile)
+        except Exception as e:  # VMEM OOM at large tiles is informative
+            print(json.dumps({
+                "config": f"tile_{tile}", "error": str(e)[:160],
+            }), flush=True)
+            continue
         print(json.dumps({"config": f"tile_{tile}", **out}), flush=True)
         if out["steps_per_sec"] > best_rate:
             best_tile, best_rate = tile, out["steps_per_sec"]
