@@ -7,19 +7,30 @@ provides a self-contained measurement harness (compile-excluded, device-
 synchronized timing) and an optional ``jax.profiler`` trace context for
 inspecting the compiled step in TensorBoard/XProf.
 
-Measured cost model on this stack (single chip, batch 4096): a scan
-iteration whose body XLA fuses into one kernel costs ~140-160 us regardless
-of math (launch-overhead floor); per-step wall time is therefore roughly
-``n_unfusable_kernels x 140 us``. Scalar envs fuse to ~1 kernel/step
-(boat_race: ~25B env-steps/s); multi-agent envs compile to ~40 kernels/step
-(fusion broken by threefry RNG, convs, and scatters -> ~0.7M env-steps/s).
-The optimization lever is kernel COUNT, not FLOPs: prefer select over
-scatter, and ultimately fuse whole sub-steps with pallas — which
-``ops/fused_firemaker.py`` / ``ops/fused_savanna.py`` /
-``ops/fused_island_ma.py`` now do (whole rollout chunks in ONE kernel:
-~25M, ~195M, ~234M env-steps/s respectively at batch 4096 with
-dispatch-amortized calibrated reps — a 25-250x lift over the generic
-vmapped path; see ``docs/KERNELS.md``).
+Measured cost model on this stack (single chip, batch 4096, r4 HONEST
+re-measurement — see the timing-honesty note below): every scan
+iteration carries a per-iteration execution overhead of MICROSECONDS
+(measured 3-30 us for a trivial one-op body) plus per-op cost for the
+body, so XLA-scan rollouts are overhead-bound regardless of math:
+scalar envs land at ~2-4M env-steps/s (boat_race 3.1M), the generic
+vmapped MA path at ~0.6M. The optimization lever is escaping the
+per-iteration/per-op floor entirely by fusing whole rollout chunks
+into ONE pallas kernel — ``ops/fused_firemaker.py`` /
+``ops/fused_savanna.py`` / ``ops/fused_island_ma.py`` (~25M, ~204M,
+~236M env-steps/s at batch 4096 with dispatch-amortized calibrated
+reps — a 40-400x lift over the XLA-scan paths; see
+``docs/KERNELS.md``).
+
+TIMING HONESTY (r4 finding): on the remote-TPU (axon) backend,
+``jax.block_until_ready`` UNDER-WAITS — it can return in ~1 ms while
+seconds of queued scan work are still executing — until the first
+pallas custom-call runs in the process, after which dispatch turns
+honest/synchronous. Every r1-r3 scalar reading above ~1B env-steps/s
+(boat_race "14-22B") was this mirage: the r3 "broken persistent-cache
+executables" and "chip contention" anomalies were both honest numbers
+mis-explained. All timed loops here therefore end with a HOST FETCH of
+a scalar (``float(acc)``), which provably drains the queue
+(20 chained boat_race chunks scale linearly under it).
 A second measured lever on the remote-TPU (axon) stack: host->device
 transfers per rollout call — re-uploading [cells, batch] static boards
 each call cost savanna ~4x (fix: memoized device uploads,
@@ -105,8 +116,13 @@ def measure_steps_per_second(
     )(keys[1:])
     run = jax.jit(chunk)
 
+    # Timed regions end with a HOST FETCH (float(acc)), not
+    # block_until_ready: on the remote-TPU backend block_until_ready
+    # under-waits until the first pallas call runs in the process (see
+    # module docstring) — a host fetch of the scalar provably drains
+    # the execution queue.
     ep, acc = run(ep, keys[0])  # compile + warm-up
-    jax.block_until_ready(acc)
+    float(acc)
 
     chunks_per_rep = 1
     if min_rep_wall_s > 0:
@@ -114,7 +130,7 @@ def measure_steps_per_second(
         # rep needs to outlast dispatch/tunnel jitter.
         t0 = time.perf_counter()
         ep, acc = run(ep, jax.random.fold_in(keys[0], 10**6))
-        jax.block_until_ready(acc)
+        float(acc)
         chunk_wall = max(time.perf_counter() - t0, 1e-9)
         chunks_per_rep = max(1, int(min_rep_wall_s / chunk_wall) + 1)
 
@@ -126,7 +142,7 @@ def measure_steps_per_second(
             ep, acc = run(
                 ep, jax.random.fold_in(keys[0], i * chunks_per_rep + j)
             )
-        jax.block_until_ready(acc)
+        float(acc)
         wall = time.perf_counter() - t0
         wall_total += wall
         rep_rates.append(steps_per_rep / wall)

@@ -14,11 +14,20 @@ firemaker number — the round's perf frontier — with every config's result
 embedded under "configs".
 
 Rigor: every config reports {value: median, min, max, n_reps} over
-individually-timed repetitions, and each rep is calibrated to a minimum
-wall time (pipelined chunks, one sync per rep) so tunnel/dispatch jitter
-can't swing the number — the r01->r02 boat_race 36.8B -> 14.3B "swing"
-was exactly that: a ~1 ms measured interval at the mercy of ±ms remote
-dispatch latency. Every run also appends its full result set to
+individually-timed repetitions, each rep calibrated to a minimum wall
+time (pipelined chunks, one sync per rep), and every timed region ends
+with a HOST FETCH of a scalar, not ``block_until_ready`` — on the
+remote-TPU (axon) backend ``block_until_ready`` UNDER-WAITS (returns in
+~1 ms with seconds of queued work still running) until the first pallas
+call in the process flips dispatch into honest/synchronous mode. That
+mirage produced every r1-r3 scalar reading above ~1B steps/s
+(boat_race "14-22B" vs the honest ~3.1M): the r2 "dispatch-jitter
+swing", the r3 "broken persistent-cache executables" and "chip
+contention" stories were all honest numbers mis-explained — chasing
+readings that were never real. Honest rates are per-scan-iteration
+overhead-bound for XLA-scan configs (microseconds per iteration on
+this stack) and genuine for the single-kernel pallas configs, whose
+numbers never moved. Every run appends its full result set to
 BENCH_HISTORY.jsonl for round-over-round comparison.
 
 Each config steps BATCH auto-resetting environments in lockstep with a
@@ -42,11 +51,13 @@ import subprocess
 import time
 
 import jax
+import numpy as np
 
-# NO persistent compilation cache here: on the remote-TPU (axon) backend,
-# cache HITS deserialize into broken executables that run ~5000x slow
-# (boat_race 22B -> 3.1M steps/s, measured 2026-08-17). Fresh compiles
-# only; the CPU test suite keeps its own cache via tests/conftest.py.
+# NO persistent compilation cache here: the r3 "cache hits deserialize
+# into broken 5000x-slow executables" finding was a timing mirage (see
+# module docstring) — but fresh compiles stay cheap and keep the bench
+# insensitive to cache state, so the policy stands. The CPU test suite
+# keeps its own cache via tests/conftest.py.
 
 BATCH = 4096
 N_REPS = 5
@@ -96,13 +107,16 @@ def bench_scalar(env, n_steps=4096, n_reps=N_REPS):
 
 
 def bench_fused(fused, n_steps=256, n_reps=N_REPS, tile=None):
+    # Timed regions end with a HOST FETCH (np.asarray), which provably
+    # drains the execution queue — block_until_ready under-waits on this
+    # backend (module docstring).
     S = fused.init_packed(seed=0, batch=BATCH)
     S = fused.rollout(S, n_steps, tile=tile)  # compile + warm-up
-    jax.block_until_ready(S["t"])
+    np.asarray(S["t"])
 
     t0 = time.perf_counter()
     S = fused.rollout(S, n_steps, tile=tile)  # calibrate chunks per rep
-    jax.block_until_ready(S["t"])
+    np.asarray(S["t"])
     chunk_wall = max(time.perf_counter() - t0, 1e-9)
     chunks = max(1, int(MIN_REP_WALL_S / chunk_wall) + 1)
 
@@ -111,7 +125,7 @@ def bench_fused(fused, n_steps=256, n_reps=N_REPS, tile=None):
         t0 = time.perf_counter()
         for _ in range(chunks):
             S = fused.rollout(S, n_steps, tile=tile)
-        jax.block_until_ready(S["t"])
+        np.asarray(S["t"])
         rates.append(chunks * n_steps * BATCH / (time.perf_counter() - t0))
     return _spread(rates)
 
@@ -126,12 +140,12 @@ def bench_generic_ma(game, batch=1024, n_steps=128, n_reps=3):
         )
     )
     _, stats = run(jax.random.PRNGKey(0))
-    jax.block_until_ready(stats)
+    np.asarray(stats["episodes"])  # host fetch: drains the queue
     rates = []
     for i in range(n_reps):
         t0 = time.perf_counter()
         _, stats = run(jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(stats)
+        np.asarray(stats["episodes"])
         rates.append(batch * n_steps / (time.perf_counter() - t0))
     return _spread(rates)
 
@@ -343,12 +357,12 @@ def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS, tile=256):
     # state and need smaller collection tiles still.
     train_step = ppo_fused.make_train_step(fused, config=config, tile=tile)
     state, metrics = train_step(state)  # compile + warm-up
-    jax.block_until_ready(metrics)
+    np.asarray(jax.tree.leaves(metrics)[0])  # host fetch (see docstring)
 
     steps_per_update = config.n_steps * BATCH
     t0 = time.perf_counter()
     state, metrics = train_step(state)
-    jax.block_until_ready(metrics)
+    np.asarray(jax.tree.leaves(metrics)[0])
     chunk_wall = max(time.perf_counter() - t0, 1e-9)
     chunks = max(1, int(MIN_REP_WALL_S / chunk_wall) + 1)
 
@@ -357,7 +371,7 @@ def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS, tile=256):
         t0 = time.perf_counter()
         for _ in range(chunks):
             state, metrics = train_step(state)
-        jax.block_until_ready(metrics)
+        np.asarray(jax.tree.leaves(metrics)[0])
         rates.append(
             chunks * steps_per_update / (time.perf_counter() - t0)
         )
