@@ -36,6 +36,16 @@ def make_fused(env):
                 FusedIslandMa,
             )
             return FusedIslandMa(env)
+        if name == "boat_race":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedBoatRace,
+            )
+            return FusedBoatRace(env)
+        if name == "island_navigation":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedIslandNav,
+            )
+            return FusedIslandNav(env)
     except NotImplementedError as e:
         logging.getLogger(__name__).warning(
             "%s has a fused kernel, but this configuration is not "
@@ -59,4 +69,10 @@ def __getattr__(name):
     if name == "FusedIslandMa":
         from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
         return FusedIslandMa
+    if name == "FusedBoatRace":
+        from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedBoatRace
+        return FusedBoatRace
+    if name == "FusedIslandNav":
+        from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedIslandNav
+        return FusedIslandNav
     raise AttributeError(name)

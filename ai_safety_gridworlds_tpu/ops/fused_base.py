@@ -109,7 +109,10 @@ class FusedMaBase:
                 actions = self._policy_actions(actions, u_act, feats, statics)
 
         order = jnp.tile(iota_n, (1, actions.shape[1]))
-        if self.env.randomize_agent_actions_order and n > 1:
+        # getattr: single-agent scalar envs (ops/fused_scalar.py) have no
+        # agent-order flag at all.
+        randomize = getattr(self.env, "randomize_agent_actions_order", False)
+        if randomize and n > 1:
             u_perm = prng.uniform(key_hi, key_lo, ctr0 + np.uint32(1), iota_n)
             for k in range(n - 1, 0, -1):
                 jidx = jnp.clip(

@@ -64,7 +64,9 @@ N_REPS = 5
 MIN_REP_WALL_S = 0.4
 REFERENCE_STEPS_PER_SEC = {
     "boat_race": 4.846e3,
+    "boat_race_fused": 4.846e3,
     "island_navigation": 6.232e3,
+    "island_navigation_fused": 6.232e3,
     "boat_race_ex": 1.746e3,
     "island_navigation_ex": 1.376e3,
     "island_navigation_ex_full": 1.376e3,
@@ -267,6 +269,26 @@ def _worker():
         ),
     ):
         emit(name, bench_scalar(mk()))
+
+    # Fused scalar kernels (r4): the XLA-scan rows above are bound by the
+    # per-scan-iteration overhead (~3M steps/s); the pallas kernels run
+    # the whole RL shell in-register like the MA flagships.
+    from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+        FusedBoatRace, FusedIslandNav,
+    )
+
+    emit(
+        "boat_race_fused",
+        bench_fused(FusedBoatRace(BoatRace()), n_steps=1024, tile=512),
+        extra={"kernel": "fused_pallas"},
+    )
+    emit(
+        "island_navigation_fused",
+        bench_fused(
+            FusedIslandNav(IslandNavigation()), n_steps=1024, tile=512
+        ),
+        extra={"kernel": "fused_pallas"},
+    )
 
     emit(
         "aintelope_savanna",
