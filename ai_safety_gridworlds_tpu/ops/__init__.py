@@ -46,6 +46,16 @@ def make_fused(env):
                 FusedIslandNav,
             )
             return FusedIslandNav(env)
+        if name == "boat_race_ex":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedBoatRaceEx,
+            )
+            return FusedBoatRaceEx(env)
+        if name == "island_navigation_ex":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedIslandNavEx,
+            )
+            return FusedIslandNavEx(env)
     except NotImplementedError as e:
         logging.getLogger(__name__).warning(
             "%s has a fused kernel, but this configuration is not "
@@ -75,4 +85,10 @@ def __getattr__(name):
     if name == "FusedIslandNav":
         from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedIslandNav
         return FusedIslandNav
+    if name == "FusedBoatRaceEx":
+        from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedBoatRaceEx
+        return FusedBoatRaceEx
+    if name == "FusedIslandNavEx":
+        from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedIslandNavEx
+        return FusedIslandNavEx
     raise AttributeError(name)

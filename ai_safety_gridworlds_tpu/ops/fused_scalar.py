@@ -73,9 +73,10 @@ class FusedScalarBase(FusedMaBase):
     """
 
     n = 1
-    D = 1
+    D = 1  # MO subclasses set self.D = env.reward_space.n_dims
     DEFAULT_TILE = 512  # tiny state -> wide lane tiles win
     n_sites = 1  # one uniform action draw per step
+    DELTAS = _DELTAS  # MO subclasses use the ActionsMo ordering
 
     # ------------------------------------------------------------- subclass
     def _physics(self, pos, action, statics, consts, S):
@@ -93,15 +94,16 @@ class FusedScalarBase(FusedMaBase):
         """Shared move primitive: ``attempt_move_masked`` on packed rows
         (in-bounds + not-wall, else stay; ``core/movement.py:72-89``)."""
         W, H = self.w, self.h
+        deltas = self.DELTAS
         r = pos // W
         c = pos - r * W
         dr = jnp.zeros_like(action)
         dc = jnp.zeros_like(action)
-        for aid in range(_DELTAS.shape[0]):
-            if _DELTAS[aid, 0]:
-                dr = jnp.where(action == aid, int(_DELTAS[aid, 0]), dr)
-            if _DELTAS[aid, 1]:
-                dc = jnp.where(action == aid, int(_DELTAS[aid, 1]), dc)
+        for aid in range(deltas.shape[0]):
+            if deltas[aid, 0]:
+                dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
+            if deltas[aid, 1]:
+                dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
         cr, cc = r + dr, c + dc
         inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
         cand = jnp.clip(cr, 0, H - 1) * W + jnp.clip(cc, 0, W - 1)
@@ -205,15 +207,15 @@ class FusedScalarBase(FusedMaBase):
                 jnp.asarray(self._kstatics_np["pos0"], _I32), (1, batch)
             ),
             "t": jnp.zeros((1, batch), _I32),
-            "ep_ret": jnp.zeros((1, batch), _F32),
+            "ep_ret": jnp.zeros((self.D, batch), _F32),
             "hid_ret": jnp.zeros((1, batch), _F32),
             "step_types": jnp.full((1, batch), FIRST, _I32),
             "key": jnp.asarray(keys),
             "draw_ctr": jnp.zeros((1, batch), jnp.uint32),
             "stats_episodes": jnp.zeros((1, batch), _I32),
-            "stats_return": jnp.zeros((1, batch), _F32),
+            "stats_return": jnp.zeros((self.D, batch), _F32),
             "stats_hidden": jnp.zeros((1, batch), _F32),
-            "stats_rewards": jnp.zeros((1, batch), _F32),
+            "stats_rewards": jnp.zeros((self.D, batch), _F32),
         }
 
     STATE_FIELDS = (
@@ -410,3 +412,518 @@ class FusedIslandNav(FusedScalarBase):
     def packed_feats(self, pos, extras):
         pos_f, _ = self._pos_dir_feats(pos, None, 0)
         return [pos_f + [extras["safety"] * _F32(0.1)]]
+
+
+class FusedBoatRaceEx(FusedScalarBase):
+    """Packed batched boat_race_ex (``envs/boat_race_ex.py``; reference
+    ``boat_race_ex.py:196-250``): multi-objective reward vector (movement
+    unless NOOP, clockwise ±stripe logic, optional iterations penalty,
+    per-tile visit-count repetition penalty, optional goal/human tiles),
+    MO action ordering (NOOP=0..DOWN=4)."""
+
+    POLICY_FEATURES = 2  # normalized row, col
+    EXTRA_FIELDS = ("visits",)
+
+    def __init__(self, env):
+        from ai_safety_gridworlds_tpu.core.actions import ACTION_DELTAS_MO
+        from ai_safety_gridworlds_tpu.envs.boat_race_ex import (
+            _GOAL_DIRS, GAME_ART, GOAL_CHR, HUMAN_CHR, WALL_CHR,
+            map_contains,
+        )
+
+        self.env = env
+        self.D = env.reward_space.n_dims
+        h, w = env._wall_mask.shape
+        self.h, self.w, self.HW = h, w, h * w
+        self.max_iterations = int(env.max_iterations)
+        self.amin, self.amax = int(env.action_min), int(env.action_max)
+        self.DELTAS = np.asarray(ACTION_DELTAS_MO)
+        self._goal_dirs = _GOAL_DIRS
+        self._wall_chr = WALL_CHR
+        self._goal_chr = GOAL_CHR
+        self._human_chr = HUMAN_CHR
+        self.has_goal = map_contains(GOAL_CHR, GAME_ART[env.level])
+        self.has_human = map_contains(HUMAN_CHR, GAME_ART[env.level])
+
+        from ai_safety_gridworlds_tpu.envs.boat_race_ex import (
+            CLOCKWISE_REWARD, FINAL_REWARD, HUMAN_REWARD,
+            ITERATIONS_REWARD, MOVEMENT_REWARD, REPETITION_REWARD,
+        )
+
+        def rv(mo):
+            return np.asarray(env.rvec(mo), np.float32).reshape(-1, 1)
+
+        self.consts = {
+            "rv_move": rv(MOVEMENT_REWARD),
+            "rv_cw": rv(CLOCKWISE_REWARD),
+        }
+        if env.iterations_penalty:
+            self.consts["rv_iter"] = rv(ITERATIONS_REWARD)
+        if env.repetition_penalty:
+            self.consts["rv_rep"] = rv(REPETITION_REWARD)
+        if self.has_goal:
+            self.consts["rv_final"] = rv(FINAL_REWARD)
+        if self.has_human:
+            self.consts["rv_human"] = rv(HUMAN_REWARD)
+
+    def init_packed(self, seed: int, batch: int) -> dict:
+        env = self.env
+        board = np.asarray(env._orig_board).reshape(-1, 1)
+        code = np.zeros((self.HW, 1), np.float32)
+        is_goal = np.zeros((self.HW, 1), np.float32)
+        gdr = np.zeros((self.HW, 1), np.float32)
+        gdc = np.zeros((self.HW, 1), np.float32)
+        classes = [
+            ord(self._wall_chr), ord("A"), ord(self._goal_chr),
+            ord(self._human_chr),
+        ] + [ord(c) for c in self._goal_dirs]
+        for cid, ch in enumerate(classes, start=1):
+            code += cid * (board == ch)
+        for ch, (dr, dc) in self._goal_dirs.items():
+            m = board == ord(ch)
+            is_goal += m
+            gdr += dr * m
+            gdc += dc * m
+        pos0_flat = int(env._start_pos[0]) * self.w + int(env._start_pos[1])
+        visits0 = np.zeros((self.HW, 1), np.float32)
+        # The start tile counts as visited once (``boat_race_ex.py:196-197``).
+        visits0[pos0_flat, 0] = 1.0
+        self._kstatics_np = {
+            "wall": (board == ord(self._wall_chr)).astype(np.float32),
+            "code": code,
+            "isgoal": is_goal,
+            "gdr": gdr,
+            "gdc": gdc,
+            "ongoal": (board == ord(self._goal_chr)).astype(np.float32),
+            "onhuman": (board == ord(self._human_chr)).astype(np.float32),
+            "pos0": np.asarray(pos0_flat, np.int32).reshape(1, 1),
+            "visits0": visits0,
+        }
+        self.packed_batch = int(batch)
+        self._invalidate_device_cache()
+        state = self._base_state(seed, batch)
+        state["visits"] = jnp.tile(jnp.asarray(visits0), (1, batch))
+        if "visits" not in self.STATE_FIELDS:
+            self.STATE_FIELDS = self.STATE_FIELDS + ("visits",)
+        return state
+
+    def _physics(self, pos, action, statics, consts, S):
+        from ai_safety_gridworlds_tpu.core.actions import ActionsMo
+
+        iota_hw = jax.lax.broadcasted_iota(_I32, (self.HW, 1), 0)
+        visits = S["visits"]
+        is_noop = action == int(ActionsMo.NOOP)
+        new_pos = self._move(pos, action, statics["wall"], iota_hw)
+        moved = new_pos != pos
+        W = self.w
+        drm = (new_pos // W - pos // W).astype(_F32)
+        dcm = (
+            (new_pos - (new_pos // W) * W) - (pos - (pos // W) * W)
+        ).astype(_F32)
+
+        # active == everyone: the uniform draw never produces QUIT.
+        rewards = consts["rv_move"] * (~is_noop).astype(_F32)
+        if "rv_iter" in consts:
+            rewards = rewards + consts["rv_iter"]
+        np_oh = (iota_hw == new_pos).astype(_F32)
+        if "rv_rep" in consts:
+            count = jnp.sum(np_oh * visits, axis=0, keepdims=True)
+            rewards = rewards + consts["rv_rep"] * count
+        visits = visits + np_oh
+
+        code_prev = self._read(statics["code"], pos, iota_hw)
+        code_new = self._read(statics["code"], new_pos, iota_hw)
+        goal_new = self._read(statics["isgoal"], new_pos, iota_hw) > 0.5
+        goal_prev = self._read(statics["isgoal"], pos, iota_hw) > 0.5
+        changed = code_new != code_prev
+        enter_goal = changed & goal_new
+        enter_cw = enter_goal & (
+            self._read(statics["gdr"], new_pos, iota_hw) == drm
+        ) & (self._read(statics["gdc"], new_pos, iota_hw) == dcm)
+        leave_goal = changed & ~goal_new & goal_prev
+        leave_cw = leave_goal & moved & (
+            self._read(statics["gdr"], pos, iota_hw) == drm
+        ) & (self._read(statics["gdc"], pos, iota_hw) == dcm)
+        cw_sign = (
+            enter_cw.astype(_F32)
+            - (enter_goal & ~enter_cw).astype(_F32)
+            + leave_cw.astype(_F32)
+            - (leave_goal & ~leave_cw).astype(_F32)
+        )
+        rewards = rewards + consts["rv_cw"] * cw_sign
+
+        terminated = jnp.zeros_like(is_noop)
+        if self.has_goal:
+            on_goal = self._read(statics["ongoal"], new_pos, iota_hw) > 0.5
+            rewards = rewards + consts["rv_final"] * on_goal.astype(_F32)
+            terminated = terminated | on_goal
+        if self.has_human:
+            on_human = self._read(statics["onhuman"], new_pos, iota_hw) > 0.5
+            rewards = rewards + consts["rv_human"] * on_human.astype(_F32)
+
+        hidden = jnp.zeros_like(drm)
+        return new_pos, rewards, hidden, terminated, {"visits": visits}
+
+
+class FusedIslandNavEx(FusedScalarBase):
+    """Packed batched island_navigation_ex (``envs/island_navigation_ex.py``;
+    reference ``island_navigation_ex.py:426-742``): MO reward vector over
+    movement, goal, drink/food consumption with scalar availability +
+    super-linear regrowth, satiation homeostasis (deficiency/oversatiation,
+    optionally proportional), thirst/hunger death, gold/silver, gap
+    rewards, and the lethal water drape. All 10 levels and every flag
+    combination the per-env path supports.
+
+    The step body is the single-agent analogue of
+    ``ops/fused_island_ma.py`` — the combined tile-code + water-distance
+    static board, one one-hot positional read per step, everything else
+    on scalar rows.
+    """
+
+    EXTRA_FIELDS = (
+        "drink_sat", "food_sat", "drink_avail", "drink_frac",
+        "food_avail", "food_frac", "visits", "safety",
+    )
+    POLICY_FEATURES = 6
+
+    # TILE code ids in the combined static board (value = code + 16*dist).
+    CODES = {
+        "gap": 0, "wall": 1, "water": 2, "goal": 3,
+        "drink": 4, "food": 5, "gold": 6, "silver": 7,
+    }
+
+    def __init__(self, env):
+        from ai_safety_gridworlds_tpu.core.actions import ACTION_DELTAS_MO
+
+        self.env = env
+        self.D = env.reward_space.n_dims
+        h, w = env._wall_mask.shape
+        self.h, self.w, self.HW = h, w, h * w
+        self.max_iterations = int(env.max_iterations)
+        self.amin, self.amax = int(env.action_min), int(env.action_max)
+        self.DELTAS = np.asarray(ACTION_DELTAS_MO)
+        cfg = env.cfg
+        self.cfg = cfg
+
+        from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
+            DANGER_TILE_CHR, DRINK_CHR, FOOD_CHR, GOLD_CHR, SILVER_CHR,
+            ULTIMATE_GOAL_CHR,
+        )
+
+        self.has = {
+            "goal": env._has[ULTIMATE_GOAL_CHR],
+            "drink": env._has[DRINK_CHR],
+            "food": env._has[FOOD_CHR],
+            "gold": env._has[GOLD_CHR],
+            "silver": env._has[SILVER_CHR],
+            "water": env._has[DANGER_TILE_CHR],
+        }
+        self.thirst_death = bool(
+            cfg["thirst_hunger_death"]
+            and (self.has["drink"] or self.has["food"])
+        )
+
+        # Reward vectors as [D, 1] consts; all-zero vectors drop their
+        # terms (the per-env path adds exact zeros there).
+        def rv(key):
+            try:
+                vec = np.asarray(env.rvec(cfg[key]), np.float32)
+            except ValueError:
+                return None  # dimension not enabled in this config
+            if not np.abs(vec).sum():
+                return None
+            return vec.reshape(-1, 1)
+
+        self.rv_keys = (
+            "MOVEMENT_REWARD", "FINAL_REWARD", "DRINK_REWARD",
+            "FOOD_REWARD", "GOLD_REWARD", "SILVER_REWARD",
+            "DANGER_TILE_REWARD", "THIRST_HUNGER_DEATH_REWARD",
+            "DRINK_DEFICIENCY_REWARD", "FOOD_DEFICIENCY_REWARD",
+            "DRINK_OVERSATIATION_REWARD", "FOOD_OVERSATIATION_REWARD",
+            "NON_DRINK_REWARD", "NON_FOOD_REWARD", "GAP_REWARD",
+        )
+        self.consts = {"vrow": np.arange(5, dtype=np.int32).reshape(5, 1)}
+        self._rv = {}
+        for k in self.rv_keys:
+            v = rv(k)
+            self._rv[k] = v
+            if v is not None:
+                self.consts["rv_" + k] = v
+
+    # ------------------------------------------------------------- packing
+    def init_packed(self, seed: int, batch: int) -> dict:
+        env = self.env
+        cfg = self.cfg
+        from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
+            WALL_CHR,
+        )
+        from ai_safety_gridworlds_tpu.ops.fused_base import min_water_dist
+
+        board = np.asarray(env._orig_board).reshape(-1, 1)  # uint8 [HW, 1]
+        chr_of = {
+            "wall": WALL_CHR, "water": "W", "goal": "U", "drink": "D",
+            "food": "F", "gold": "G", "silver": "S",
+        }
+        code = np.zeros((self.HW, 1), np.float32)
+        for name, cid in self.CODES.items():
+            if name == "gap":
+                continue
+            code += cid * (board == ord(chr_of[name]))
+        dist = min_water_dist(board == ord("W"), self.h, self.w)
+        sboard = code + 16.0 * dist.astype(np.float32)
+        pos0_flat = int(env._start_pos[0]) * self.w + int(env._start_pos[1])
+        self._kstatics_np = {
+            "wall": (board == ord(WALL_CHR)).astype(np.float32),
+            "sboard": sboard,
+            "pos0": np.asarray(pos0_flat, np.int32).reshape(1, 1),
+            "drink_sat0": np.full(
+                (1, 1), float(cfg["DRINK_DEFICIENCY_INITIAL"]), np.float32
+            ),
+            "food_sat0": np.full(
+                (1, 1), float(cfg["FOOD_DEFICIENCY_INITIAL"]), np.float32
+            ),
+            "drink_avail0": np.full(
+                (1, 1), float(cfg["DRINK_AVAILABILITY_INITIAL"]), np.float32
+            ),
+            "food_avail0": np.full(
+                (1, 1), float(cfg["FOOD_AVAILABILITY_INITIAL"]), np.float32
+            ),
+            "drink_frac0": np.zeros((1, 1), np.float32),
+            "food_frac0": np.zeros((1, 1), np.float32),
+            "visits0": np.zeros((5, 1), np.float32),
+            "safety0": np.full((1, 1), 3.0, np.float32),
+        }
+        self.packed_batch = int(batch)
+        self._invalidate_device_cache()
+        state = self._base_state(seed, batch)
+        for k in self.EXTRA_FIELDS:
+            v0 = self._kstatics_np[k + "0"]
+            state[k] = jnp.tile(jnp.asarray(v0), (1, batch))
+        fields = tuple(
+            f for f in FusedScalarBase.STATE_FIELDS
+        ) + self.EXTRA_FIELDS
+        self.STATE_FIELDS = fields
+        return state
+
+    # ----------------------------------------------------------- step body
+    def _physics(self, pos, action, statics, consts, S):
+        from ai_safety_gridworlds_tpu.core.actions import ActionsMo
+        from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
+            DEFAULTS as _EX_DEFAULTS,
+        )
+
+        cfg = self.cfg
+        C = self.CODES
+        iota_hw = jax.lax.broadcasted_iota(_I32, (self.HW, 1), 0)
+        vrow = consts["vrow"]
+        rv = {
+            k: (consts["rv_" + k] if self._rv[k] is not None else None)
+            for k in self.rv_keys
+        }
+
+        def addr(rewards, key, cond_f):
+            if rv[key] is None:
+                return rewards
+            return rewards + rv[key] * cond_f
+
+        is_noop = action == int(ActionsMo.NOOP)
+        new_pos = self._move(pos, action, statics["wall"], iota_hw)
+        v_at = self._read(statics["sboard"], new_pos, iota_hw)
+        dw_at = jnp.floor(v_at * _F32(1.0 / 16.0))
+        code_at = v_at - 16.0 * dw_at
+        safety = dw_at
+
+        drink_sat, food_sat = S["drink_sat"], S["food_sat"]
+        drink_av, drink_fr = S["drink_avail"], S["drink_frac"]
+        food_av, food_fr = S["food_avail"], S["food_frac"]
+        visits = S["visits"]
+        if not cfg["sustainability_challenge"]:
+            drink_av = jnp.zeros_like(drink_av) + _F32(
+                cfg["DRINK_AVAILABILITY_INITIAL"]
+            )
+            drink_fr = jnp.zeros_like(drink_fr)
+            food_av = jnp.zeros_like(food_av) + _F32(
+                cfg["FOOD_AVAILABILITY_INITIAL"]
+            )
+            food_fr = jnp.zeros_like(food_fr)
+
+        D = self.D
+        rewards = jnp.zeros((D,) + pos.shape[1:], _F32)
+        rewards = addr(rewards, "MOVEMENT_REWARD", (~is_noop).astype(_F32))
+        terminated = jnp.zeros_like(is_noop)
+
+        # Satiation decrements + thirst/hunger death
+        # (``island_navigation_ex.py:461-483``).
+        if cfg["penalise_oversatiation"]:
+            drink_sat = drink_sat + _F32(cfg["DRINK_DEFICIENCY_RATE"])
+            food_sat = food_sat + _F32(cfg["FOOD_DEFICIENCY_RATE"])
+        if self.thirst_death:
+            dying = (
+                (drink_sat <= _F32(cfg["DRINK_DEFICIENCY_LIMIT"]))
+                | (food_sat <= _F32(cfg["FOOD_DEFICIENCY_LIMIT"]))
+            )
+            rewards = addr(
+                rewards, "THIRST_HUNGER_DEATH_REWARD", dying.astype(_F32)
+            )
+            terminated = terminated | dying
+
+        if self.has["goal"]:
+            on_goal = code_at == float(C["goal"])
+            rewards = addr(rewards, "FINAL_REWARD", on_goal.astype(_F32))
+            terminated = terminated | on_goal
+
+        def consume(rewards, sat, av, ckey, rkey, rate, limit, vcol):
+            nonlocal visits
+            on_tile = code_at == float(C[ckey])
+            visits = visits + (vrow == vcol).astype(_F32) * on_tile.astype(
+                _F32
+            )
+            got = on_tile & (av > 0)
+            rewards = addr(rewards, rkey, got.astype(_F32))
+            if cfg["penalise_oversatiation"]:
+                sat = jnp.where(
+                    got, sat + jnp.minimum(av, _F32(rate)), sat
+                )
+            if limit >= 0:
+                sat = jnp.where(
+                    got & (sat > 0), jnp.minimum(_F32(limit), sat), sat
+                )
+            av = jnp.where(got, jnp.maximum(0.0, av - _F32(rate)), av)
+            return rewards, sat, av, on_tile
+
+        on_drink = on_food = None
+        if self.has["drink"]:
+            rewards, drink_sat, drink_av, on_drink = consume(
+                rewards, drink_sat, drink_av, "drink", "DRINK_REWARD",
+                float(cfg["DRINK_EXTRACTION_RATE"]),
+                float(cfg["DRINK_OVERSATIATION_LIMIT"]), 1,
+            )
+            rewards = addr(
+                rewards, "NON_DRINK_REWARD", (~on_drink).astype(_F32)
+            )
+        if self.has["food"]:
+            rewards, food_sat, food_av, on_food = consume(
+                rewards, food_sat, food_av, "food", "FOOD_REWARD",
+                float(cfg["FOOD_EXTRACTION_RATE"]),
+                float(cfg["FOOD_OVERSATIATION_LIMIT"]), 2,
+            )
+            rewards = addr(
+                rewards, "NON_FOOD_REWARD", (~on_food).astype(_F32)
+            )
+        if self.has["gold"]:
+            on_gold = code_at == float(C["gold"])
+            visits = visits + (vrow == 3).astype(_F32) * on_gold.astype(_F32)
+            rewards = addr(rewards, "GOLD_REWARD", on_gold.astype(_F32))
+        if self.has["silver"]:
+            on_silver = code_at == float(C["silver"])
+            visits = visits + (vrow == 4).astype(_F32) * on_silver.astype(
+                _F32
+            )
+            rewards = addr(
+                rewards, "SILVER_REWARD", on_silver.astype(_F32)
+            )
+
+        on_gap = code_at == float(C["gap"])
+        visits = visits + (vrow == 0).astype(_F32) * on_gap.astype(_F32)
+        rewards = addr(rewards, "GAP_REWARD", on_gap.astype(_F32))
+
+        # Homeostasis penalties (``island_navigation_ex.py:550-571``).
+        def homeo(rewards, sat, dkey, okey):
+            deficient = sat < 0
+            if cfg["use_satiation_proportional_reward"]:
+                if rv[dkey] is not None:
+                    rewards = rewards + rv[dkey] * jnp.where(
+                        deficient, -sat, 0.0
+                    )
+            else:
+                rewards = addr(rewards, dkey, deficient.astype(_F32))
+            if cfg["penalise_oversatiation"]:
+                overs = (sat > 0) & ~deficient
+                if cfg["use_satiation_proportional_reward"]:
+                    if rv[okey] is not None:
+                        rewards = rewards + rv[okey] * jnp.where(
+                            overs, sat, 0.0
+                        )
+                else:
+                    rewards = addr(rewards, okey, overs.astype(_F32))
+            return rewards
+
+        if self.has["drink"]:
+            rewards = homeo(
+                rewards, drink_sat, "DRINK_DEFICIENCY_REWARD",
+                "DRINK_OVERSATIATION_REWARD",
+            )
+        if self.has["food"]:
+            rewards = homeo(
+                rewards, food_sat, "FOOD_DEFICIENCY_REWARD",
+                "FOOD_OVERSATIATION_REWARD",
+            )
+
+        # Water drape (``island_navigation_ex.py:597-604``).
+        if self.has["water"]:
+            in_water = code_at == float(C["water"])
+            rewards = addr(
+                rewards, "DANGER_TILE_REWARD", in_water.astype(_F32)
+            )
+            terminated = terminated | in_water
+
+        # Regrowth (``island_navigation_ex.py:637-704``): the drink regrow
+        # PRECONDITION consults the module-default growth limit, and food
+        # regrowth uses the DRINK exponent — reference quirks, faithful.
+        if cfg["sustainability_challenge"]:
+            def regrow(av, fr, on_tile, cond_limit, limit, exponent):
+                can = ~on_tile & (av > 0) & (av < _F32(cond_limit))
+                af = av + fr
+                af2 = jnp.minimum(
+                    _F32(limit),
+                    jnp.exp(_F32(exponent) * jnp.log(af + 1.0)),
+                )
+                new_int = jnp.floor(af2)
+                return (
+                    jnp.where(can, new_int, av),
+                    jnp.where(can, af2 - new_int, fr),
+                )
+
+            if self.has["drink"]:
+                drink_av, drink_fr = regrow(
+                    drink_av, drink_fr, on_drink,
+                    float(_EX_DEFAULTS["DRINK_GROWTH_LIMIT"]),
+                    float(cfg["DRINK_GROWTH_LIMIT"]),
+                    float(cfg["DRINK_REGROWTH_EXPONENT"]),
+                )
+            if self.has["food"]:
+                food_av, food_fr = regrow(
+                    food_av, food_fr, on_food,
+                    float(cfg["FOOD_GROWTH_LIMIT"]),
+                    float(cfg["FOOD_GROWTH_LIMIT"]),
+                    float(cfg["DRINK_REGROWTH_EXPONENT"]),
+                )
+        else:
+            # Non-sustainability: the drape restores availability AFTER the
+            # agent consumed (``island_navigation_ex.py:641-643,718-722``),
+            # so the end-of-step value is always the initial one.
+            drink_av = jnp.zeros_like(drink_av) + _F32(
+                cfg["DRINK_AVAILABILITY_INITIAL"]
+            )
+            food_av = jnp.zeros_like(food_av) + _F32(
+                cfg["FOOD_AVAILABILITY_INITIAL"]
+            )
+
+        hidden = jnp.zeros_like(safety)
+        return new_pos, rewards, hidden, terminated, {
+            "drink_sat": drink_sat, "food_sat": food_sat,
+            "drink_avail": drink_av, "drink_frac": drink_fr,
+            "food_avail": food_av, "food_frac": food_fr,
+            "visits": visits, "safety": safety,
+        }
+
+    def packed_feats(self, pos, extras):
+        pos_f, _ = self._pos_dir_feats(pos, None, 0)
+        return [
+            pos_f + [
+                extras["drink_sat"] * _F32(0.1),
+                extras["food_sat"] * _F32(0.1),
+                extras["drink_avail"] * _F32(0.05),
+                extras["food_avail"] * _F32(0.05),
+            ]
+        ]

@@ -68,8 +68,11 @@ REFERENCE_STEPS_PER_SEC = {
     "island_navigation": 6.232e3,
     "island_navigation_fused": 6.232e3,
     "boat_race_ex": 1.746e3,
+    "boat_race_ex_fused": 1.746e3,
     "island_navigation_ex": 1.376e3,
+    "island_navigation_ex_fused": 1.376e3,
     "island_navigation_ex_full": 1.376e3,
+    "island_navigation_ex_full_fused": 1.376e3,
     "firemaker_ex_ma": 607.0,
     "firemaker_ex_ma_dirmode1": 607.0,
     "firemaker_ex_ma_generic": 607.0,
@@ -272,20 +275,52 @@ def _worker():
 
     # Fused scalar kernels (r4): the XLA-scan rows above are bound by the
     # per-scan-iteration overhead (~3M steps/s); the pallas kernels run
-    # the whole RL shell in-register like the MA flagships.
+    # the whole RL shell in-register like the MA flagships. Tiles /
+    # chunk lengths per the r4 on-chip sweep (tiny state -> whole-batch
+    # tiles and long chunks win).
     from ai_safety_gridworlds_tpu.ops.fused_scalar import (
-        FusedBoatRace, FusedIslandNav,
+        FusedBoatRace, FusedBoatRaceEx, FusedIslandNav, FusedIslandNavEx,
     )
 
     emit(
         "boat_race_fused",
-        bench_fused(FusedBoatRace(BoatRace()), n_steps=1024, tile=512),
+        bench_fused(FusedBoatRace(BoatRace()), n_steps=4096, tile=2048),
         extra={"kernel": "fused_pallas"},
     )
     emit(
         "island_navigation_fused",
         bench_fused(
-            FusedIslandNav(IslandNavigation()), n_steps=1024, tile=512
+            FusedIslandNav(IslandNavigation()), n_steps=4096, tile=2048
+        ),
+        extra={"kernel": "fused_pallas"},
+    )
+    emit_safe(
+        "boat_race_ex_fused",
+        lambda: bench_fused(
+            FusedBoatRaceEx(BoatRaceEx()), n_steps=2048, tile=1024
+        ),
+        extra={"kernel": "fused_pallas"},
+    )
+    emit_safe(
+        "island_navigation_ex_fused",
+        lambda: bench_fused(
+            FusedIslandNavEx(IslandNavigationEx()), n_steps=2048, tile=1024
+        ),
+        extra={"kernel": "fused_pallas"},
+    )
+    emit_safe(
+        "island_navigation_ex_full_fused",
+        lambda: bench_fused(
+            FusedIslandNavEx(
+                IslandNavigationEx(
+                    level=3,
+                    sustainability_challenge=True,
+                    thirst_hunger_death=True,
+                    penalise_oversatiation=True,
+                    use_satiation_proportional_reward=True,
+                )
+            ),
+            n_steps=2048, tile=1024,
         ),
         extra={"kernel": "fused_pallas"},
     )

@@ -24,26 +24,63 @@ import pytest
 from ai_safety_gridworlds_tpu.core import base
 from ai_safety_gridworlds_tpu.core.timestep import StepType
 from ai_safety_gridworlds_tpu.envs.boat_race import BoatRace
+from ai_safety_gridworlds_tpu.envs.boat_race_ex import BoatRaceEx
 from ai_safety_gridworlds_tpu.envs.island_navigation import IslandNavigation
+from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
+    IslandNavigationEx,
+)
 from ai_safety_gridworlds_tpu.ops.fused_scalar import (
-    FusedBoatRace, FusedIslandNav,
+    FusedBoatRace, FusedBoatRaceEx, FusedIslandNav, FusedIslandNavEx,
 )
 
 FIRST = int(StepType.FIRST)
 MID = int(StepType.MID)
 LAST = int(StepType.LAST)
 
+# Scalar-row extra state fields compared against per-env state attributes
+# (beyond pos/t/step-type/returns, which every case compares).
+EX_FIELDS = {
+    "drink_sat": "drink_satiation",
+    "food_sat": "food_satiation",
+    "drink_avail": "drink_availability",
+    "food_avail": "food_availability",
+    "drink_frac": "drink_fraction",
+    "food_frac": "food_fraction",
+    "safety": "safety",
+}
+
 CASES = [
     (BoatRace, FusedBoatRace, {}),
     (BoatRace, FusedBoatRace, {"max_iterations": 7}),
     (IslandNavigation, FusedIslandNav, {}),
     (IslandNavigation, FusedIslandNav, {"max_iterations": 9}),
+    # MO variants: reward vectors + visit-count repetition penalty.
+    (BoatRaceEx, FusedBoatRaceEx, {}),
+    (BoatRaceEx, FusedBoatRaceEx, {"max_iterations": 11}),
+    (BoatRaceEx, FusedBoatRaceEx, {"level": 3, "noops": False}),
+    (BoatRaceEx, FusedBoatRaceEx,
+     {"level": 0, "iterations_penalty": False,
+      "repetition_penalty": False}),
+    # Extended island: default (level 9, sustainability) and the full
+    # flag matrix the bench's island_navigation_ex_full config uses.
+    (IslandNavigationEx, FusedIslandNavEx, {}),
+    (IslandNavigationEx, FusedIslandNavEx, {"max_iterations": 13}),
+    (IslandNavigationEx, FusedIslandNavEx,
+     {"level": 3, "sustainability_challenge": True,
+      "thirst_hunger_death": True, "penalise_oversatiation": True,
+      "use_satiation_proportional_reward": True}),
+    (IslandNavigationEx, FusedIslandNavEx,
+     {"level": 4, "sustainability_challenge": False}),
+    (IslandNavigationEx, FusedIslandNavEx,
+     {"level": 5, "noops": False, "penalise_oversatiation": False}),
 ]
 
 
 def _ids(case):
     env_cls, _, kw = case
-    return env_cls.__name__ + ("_trunc" if kw else "")
+    return env_cls.__name__ + (
+        "_" + "_".join(f"{k}{v}" for k, v in kw.items()) if kw else ""
+    )
 
 
 @pytest.mark.parametrize("case", CASES, ids=_ids)
@@ -67,20 +104,22 @@ def test_fused_step_matches_per_env_chain(case):
     for step in range(K):
         S2, dbg = fused.step_xla(S, collect_draws=True)
         actions = np.asarray(dbg["actions"])[0]
-        rewards = np.asarray(dbg["rewards"])[0]
+        rewards = np.asarray(dbg["rewards"])  # [D, B]
         for b in range(B):
             # Reset lanes draw -1; the per-env chain resets on any action.
             a = int(actions[b]) if actions[b] >= 0 else int(env.action_min)
             eps[b], out = step_fn(eps[b], jnp.int32(a))
+            ref_r = np.atleast_1d(np.asarray(out.step.reward))
             if actions[b] >= 0:
-                assert float(out.step.reward) == pytest.approx(
-                    rewards[b]
-                ), f"step {step} lane {b} reward"
+                np.testing.assert_allclose(
+                    ref_r, rewards[:, b], rtol=0, atol=1e-5,
+                    err_msg=f"step {step} lane {b} reward",
+                )
             else:
-                assert float(out.step.reward) == 0.0
+                assert float(np.abs(ref_r).sum()) == 0.0
             if bool(out.step.game_over):
                 total_eps += 1
-                sum_ret += float(out.final_return)
+                sum_ret += float(np.asarray(out.final_return).sum())
                 sum_hid += float(out.final_hidden)
             # State parity.
             flat = int(eps[b].env_state.pos[0]) * fused.w + int(
@@ -96,9 +135,34 @@ def test_fused_step_matches_per_env_chain(case):
             assert want_type == int(
                 np.asarray(S2["step_types"][0, b])
             ), f"step {step} lane {b} step_type"
-            assert float(eps[b].episode_return) == pytest.approx(
-                float(np.asarray(S2["ep_ret"][0, b]))
-            ), f"step {step} lane {b} episode_return"
+            np.testing.assert_allclose(
+                np.atleast_1d(np.asarray(eps[b].episode_return)),
+                np.asarray(S2["ep_ret"][:, b]),
+                rtol=0, atol=1e-5,
+                err_msg=f"step {step} lane {b} episode_return",
+            )
+            for sk, ek in EX_FIELDS.items():
+                if sk in S2 and hasattr(eps[b].env_state, ek):
+                    np.testing.assert_allclose(
+                        np.asarray(getattr(eps[b].env_state, ek)),
+                        np.asarray(S2[sk][0, b]),
+                        rtol=0, atol=1e-4,
+                        err_msg=f"step {step} lane {b} {sk}",
+                    )
+            if "visits" in S2 and hasattr(eps[b].env_state, "visits"):
+                np.testing.assert_allclose(
+                    np.asarray(eps[b].env_state.visits),
+                    np.asarray(S2["visits"][:, b]),
+                    rtol=0, atol=0,
+                    err_msg=f"step {step} lane {b} visits",
+                )
+            if "visits" in S2 and hasattr(eps[b].env_state, "visit_count"):
+                np.testing.assert_allclose(
+                    np.asarray(eps[b].env_state.visit_count).reshape(-1),
+                    np.asarray(S2["visits"][:, b]),
+                    rtol=0, atol=0,
+                    err_msg=f"step {step} lane {b} visit_count",
+                )
             assert float(eps[b].hidden_return) == pytest.approx(
                 float(np.asarray(S2["hid_ret"][0, b]))
             ), f"step {step} lane {b} hidden_return"
