@@ -18,8 +18,9 @@ per-iteration/per-op floor entirely by fusing whole rollout chunks
 into ONE pallas kernel — ``ops/fused_firemaker.py`` /
 ``ops/fused_savanna.py`` / ``ops/fused_island_ma.py`` (~25M, ~204M,
 ~236M env-steps/s at batch 4096 with dispatch-amortized calibrated
-reps — a 40-400x lift over the XLA-scan paths; see
-``docs/KERNELS.md``).
+reps — a 40-400x lift over the XLA-scan paths) and, for the scalar
+bench envs, ``ops/fused_scalar.py`` (boat_race ~1.76B,
+island_navigation ~2.72B); see ``docs/KERNELS.md``.
 
 TIMING HONESTY (r4 finding): on the remote-TPU (axon) backend,
 ``jax.block_until_ready`` UNDER-WAITS — it can return in ~1 ms while

@@ -84,6 +84,7 @@ REFERENCE_STEPS_PER_SEC = {
     "ppo_island_ma_train": 964.0,
     "ppo_firemaker_train": 607.0,
     "ppo_savanna_train": 1.251e3,
+    "ppo_boat_race_train": 4.846e3,
 }
 
 
@@ -284,27 +285,27 @@ def _worker():
 
     emit(
         "boat_race_fused",
-        bench_fused(FusedBoatRace(BoatRace()), n_steps=4096, tile=2048),
+        bench_fused(FusedBoatRace(BoatRace()), n_steps=8192, tile=2048),
         extra={"kernel": "fused_pallas"},
     )
     emit(
         "island_navigation_fused",
         bench_fused(
-            FusedIslandNav(IslandNavigation()), n_steps=4096, tile=2048
+            FusedIslandNav(IslandNavigation()), n_steps=8192, tile=2048
         ),
         extra={"kernel": "fused_pallas"},
     )
     emit_safe(
         "boat_race_ex_fused",
         lambda: bench_fused(
-            FusedBoatRaceEx(BoatRaceEx()), n_steps=2048, tile=1024
+            FusedBoatRaceEx(BoatRaceEx()), n_steps=4096, tile=2048
         ),
         extra={"kernel": "fused_pallas"},
     )
     emit_safe(
         "island_navigation_ex_fused",
         lambda: bench_fused(
-            FusedIslandNavEx(IslandNavigationEx()), n_steps=2048, tile=1024
+            FusedIslandNavEx(IslandNavigationEx()), n_steps=4096, tile=2048
         ),
         extra={"kernel": "fused_pallas"},
     )
@@ -320,7 +321,7 @@ def _worker():
                     use_satiation_proportional_reward=True,
                 )
             ),
-            n_steps=2048, tile=1024,
+            n_steps=4096, tile=2048,
         ),
         extra={"kernel": "fused_pallas"},
     )
@@ -393,6 +394,12 @@ def _worker():
         "ppo_savanna_train",
         lambda: bench_ppo_fused(AIntelopeSavanna(), FusedSavanna,
                                 tile=128),
+        extra={"kernel": "fused_pallas+ppo"},
+    )
+    # ... and on a fused SCALAR kernel (r4): PPO trains on any bench env.
+    emit_safe(
+        "ppo_boat_race_train",
+        lambda: bench_ppo_fused(BoatRace(), FusedBoatRace, tile=512),
         extra={"kernel": "fused_pallas+ppo"},
     )
 

@@ -85,7 +85,33 @@ def fused_example():
           f"env steps/s, {int(S['stats_episodes'].sum())} episodes")
 
 
+def fused_scalar_example():
+    """Fused scalar kernel: the same single-kernel treatment for the
+    scalar RL shell (ops/fused_scalar.py) — ~1.76B env-steps/s for
+    boat_race on one TPU chip (see docs/KERNELS.md)."""
+    import numpy as np
+
+    from ai_safety_gridworlds_tpu import ops
+    from ai_safety_gridworlds_tpu.envs.boat_race import BoatRace
+
+    fused = ops.make_fused(BoatRace())
+    batch, steps = 1024, 512
+    S = fused.init_packed(seed=0, batch=batch)
+    S = fused.rollout(S, steps)  # compile + warm-up
+    np.asarray(S["t"])
+
+    t0 = time.perf_counter()
+    S = fused.rollout(S, steps)
+    np.asarray(S["t"])  # host fetch: drains the queue
+    dt = time.perf_counter() - t0
+    eps = int(S["stats_episodes"].sum())
+    mean_perf = float(S["stats_hidden"].sum()) / max(eps, 1)
+    print(f"fused boat_race: {batch * steps / dt:,.0f} env steps/s, "
+          f"{eps} episodes, mean performance {mean_perf:.2f}")
+
+
 if __name__ == "__main__":
     main()
     ma_example()
     fused_example()
+    fused_scalar_example()
