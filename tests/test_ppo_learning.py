@@ -352,3 +352,36 @@ def test_generic_ppo_learns_island_navigation():
     assert n0 > 50 and n1 > 50
     assert r1 - r0 > 20.0, (r0, r1)
     assert r1 > 10.0, r1
+
+
+def test_fused_ppo_learns_island_navigation_scalar_kernel():
+    """Same gate on a fused SCALAR kernel (``ops/fused_scalar.py``): 40
+    CPU-sized fused-PPO updates on island_navigation must lift mean
+    evaluated episode return far above the random-init policy (measured:
+    +0.02 -> +27.7; gate at +15 improvement). Guards the scalar kernels'
+    POLICY_FEATURES / collection path end-to-end."""
+    from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedIslandNav
+
+    env = IslandNavigation()
+    fused = FusedIslandNav(env)
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=32, n_epochs=2, n_minibatches=2, hidden=32, lr=1e-3
+    )
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(0), batch_size=64, seed=3, config=config
+    )
+    train = ppo_fused.make_train_step(fused, config, backend="xla")
+    ev0 = ppo_fused.evaluate(
+        fused, state.params, n_steps=128, batch=64, seed=9, backend="xla"
+    )
+    for _ in range(40):
+        state, metrics = train(state)
+    assert np.isfinite(float(metrics["mean_reward"]))
+    ev1 = ppo_fused.evaluate(
+        fused, state.params, n_steps=128, batch=64, seed=9, backend="xla"
+    )
+    r0 = float(ev0["mean_episode_return"])
+    r1 = float(ev1["mean_episode_return"])
+    assert int(ev0["episodes"]) > 50 and int(ev1["episodes"]) > 50
+    assert r1 - r0 > 15.0, (r0, r1)
+    assert r1 > 10.0, r1
