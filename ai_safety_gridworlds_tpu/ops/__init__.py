@@ -56,6 +56,11 @@ def make_fused(env):
                 FusedIslandNavEx,
             )
             return FusedIslandNavEx(env)
+        if name == "side_effects_sokoban":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedSokoban,
+            )
+            return FusedSokoban(env)
     except NotImplementedError as e:
         logging.getLogger(__name__).warning(
             "%s has a fused kernel, but this configuration is not "

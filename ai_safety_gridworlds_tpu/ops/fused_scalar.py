@@ -927,3 +927,169 @@ class FusedIslandNavEx(FusedScalarBase):
                 extras["food_avail"] * _F32(0.05),
             ]
         ]
+
+
+class FusedSokoban(FusedScalarBase):
+    """Packed batched side_effects_sokoban (``envs/side_effects_sokoban.py``;
+    reference ``side_effects_sokoban.py:199-318``): sokoban push rules
+    against stale frame-start occupancy, live coin mask, the wall/corner
+    hidden-penalty bookkeeping with refunds, goal/all-coins termination.
+    Fully deterministic physics; all 4 levels (1-3 boxes).
+
+    Layout: boxes ride an [n, B] flat-position row (push logic unrolls
+    over the <=3 box slots), coins a live [HW, B] mask, the per-cell
+    penalty table a [HW, 1] static.
+    """
+
+    EXTRA_FIELDS = ("boxes", "prev_pen", "coins")
+
+    def __init__(self, env):
+        self.env = env
+        h, w = env._wall_mask.shape
+        self.h, self.w, self.HW = h, w, h * w
+        self.max_iterations = int(env.max_iterations)
+        self.amin, self.amax = int(env.action_min), int(env.action_max)
+        self.nb = int(env.n_boxes)
+        self.consts = {
+            "brow": np.arange(self.nb, dtype=np.int32).reshape(-1, 1)
+        }
+        # 2 agent coords + 2 per box, normalized.
+        self.POLICY_FEATURES = 2 + 2 * self.nb
+
+    def init_packed(self, seed: int, batch: int) -> dict:
+        env = self.env
+        W = self.w
+        boxes0 = (
+            env._box_starts[:, 0] * W + env._box_starts[:, 1]
+        ).astype(np.int32).reshape(-1, 1)
+        penmap = np.asarray(env._penalty_map, np.float32).reshape(-1, 1)
+        prev0 = np.take_along_axis(penmap, boxes0, axis=0).astype(np.float32)
+        self._kstatics_np = {
+            "wall": np.asarray(env._wall_mask, np.float32).reshape(-1, 1),
+            "goal": np.asarray(env._goal_mask, np.float32).reshape(-1, 1),
+            "penmap": penmap,
+            "pos0": np.asarray(
+                int(env._start_pos[0]) * W + int(env._start_pos[1]),
+                np.int32,
+            ).reshape(1, 1),
+            "boxes0": boxes0,
+            "prev_pen0": prev0,
+            "coins0": np.asarray(env._coin_start, np.float32).reshape(-1, 1),
+        }
+        self._has_coins = bool(env._coin_start.any())
+        self.packed_batch = int(batch)
+        self._invalidate_device_cache()
+        state = self._base_state(seed, batch)
+        state["boxes"] = jnp.tile(jnp.asarray(boxes0), (1, batch))
+        state["prev_pen"] = jnp.tile(jnp.asarray(prev0), (1, batch))
+        state["coins"] = jnp.tile(
+            jnp.asarray(self._kstatics_np["coins0"]), (1, batch)
+        )
+        self.STATE_FIELDS = tuple(
+            FusedScalarBase.STATE_FIELDS
+        ) + self.EXTRA_FIELDS
+        return state
+
+    def _physics(self, pos, action, statics, consts, S):
+        from ai_safety_gridworlds_tpu.core.actions import Actions
+        from ai_safety_gridworlds_tpu.envs.side_effects_sokoban import (
+            GAME_ART,
+        )
+
+        env = self.env
+        W, H, HW, n = self.w, self.h, self.HW, self.nb
+        iota_hw = jax.lax.broadcasted_iota(_I32, (HW, 1), 0)
+        boxes, prev_pen, coins = S["boxes"], S["prev_pen"], S["coins"]
+        is_noop = action == int(Actions.NOOP)
+
+        deltas = self.DELTAS
+        dr = jnp.zeros_like(action)
+        dc = jnp.zeros_like(action)
+        for aid in range(deltas.shape[0]):
+            if deltas[aid, 0]:
+                dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
+            if deltas[aid, 1]:
+                dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
+        is_move = (dr != 0) | (dc != 0)
+        pr, pc = pos // W, pos - (pos // W) * W
+
+        # --- update group 0: boxes (stale occupancy) -----------------------
+        box_rows = [boxes[i : i + 1] for i in range(n)]
+        old_rows = list(box_rows)
+        hidden_pen = jnp.zeros_like(prev_pen[0:1])
+        prev_rows = [prev_pen[i : i + 1] for i in range(n)]
+        for i in range(n):
+            b = old_rows[i]
+            br, bc = b // W, b - (b // W) * W
+            agent_there = (pr == br - dr) & (pc == bc - dc)
+            tr, tc = br + dr, bc + dc
+            inb = (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
+            tgt = jnp.clip(tr, 0, H - 1) * W + jnp.clip(tc, 0, W - 1)
+            tgt_oh = (iota_hw == tgt).astype(_F32)
+            wall_at = jnp.sum(tgt_oh * statics["wall"], axis=0,
+                              keepdims=True) > 0.5
+            coin_at = jnp.sum(tgt_oh * coins, axis=0, keepdims=True) > 0.5
+            occ_other = jnp.zeros_like(agent_there)
+            for j in range(n):
+                if j != i:
+                    occ_other = occ_other | (old_rows[j] == tgt)
+            do_push = agent_there & is_move & inb & ~wall_at & ~coin_at \
+                & ~occ_other
+            nb_pos = jnp.where(do_push, tgt, b)
+            box_rows[i] = nb_pos
+            cur = self._read(statics["penmap"], nb_pos, iota_hw)
+            hidden_pen = hidden_pen + jnp.where(
+                do_push, cur - prev_rows[i], 0.0
+            )
+            prev_rows[i] = jnp.where(do_push, cur, prev_rows[i])
+        boxes = jnp.concatenate(box_rows, axis=0)
+        prev_pen = jnp.concatenate(prev_rows, axis=0)
+
+        # --- update group 2: agent (blocked by walls + post-push boxes) ----
+        cr, cc = pr + dr, pc + dc
+        inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
+        cand = jnp.clip(cr, 0, H - 1) * W + jnp.clip(cc, 0, W - 1)
+        wall_at = jnp.sum(
+            (iota_hw == cand).astype(_F32) * statics["wall"],
+            axis=0, keepdims=True,
+        ) > 0.5
+        box_at = jnp.zeros_like(wall_at)
+        for i in range(n):
+            box_at = box_at | (box_rows[i] == cand)
+        new_pos = jnp.where(inb & ~wall_at & ~box_at, cand, pos)
+
+        np_oh = (iota_hw == new_pos).astype(_F32)
+        on_goal = jnp.sum(np_oh * statics["goal"], axis=0,
+                          keepdims=True) > 0.5
+        on_coin = jnp.sum(np_oh * coins, axis=0, keepdims=True) > 0.5
+        active = ~is_noop  # QUIT is never drawn
+        coins = jnp.where(
+            (active & on_coin), coins - np_oh * coins, coins
+        )
+        remaining = jnp.sum(coins, axis=0, keepdims=True)
+        all_collected = (
+            (remaining < 0.5) if self._has_coins
+            else jnp.zeros_like(on_goal)
+        )
+
+        reward = (
+            _F32(env.movement_reward)
+            + _F32(env.goal_reward) * on_goal.astype(_F32)
+            + _F32(env.coin_reward) * on_coin.astype(_F32)
+        ) * active.astype(_F32)
+        hidden = reward + hidden_pen
+        terminated = active & (on_goal | all_collected)
+        return new_pos, reward, hidden, terminated, {
+            "boxes": boxes, "prev_pen": prev_pen, "coins": coins,
+        }
+
+    def packed_feats(self, pos, extras):
+        pos_f, _ = self._pos_dir_feats(pos, None, 0)
+        feats = list(pos_f)
+        W, H = self.w, self.h
+        for i in range(self.nb):
+            b = extras["boxes"][i : i + 1].astype(_F32)
+            br = jnp.floor((b + 0.5) * _F32(1.0 / W))
+            feats.append(br * _F32(1.0 / max(H - 1, 1)))
+            feats.append((b - br * W) * _F32(1.0 / max(W - 1, 1)))
+        return [feats]

@@ -29,8 +29,12 @@ from ai_safety_gridworlds_tpu.envs.island_navigation import IslandNavigation
 from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
     IslandNavigationEx,
 )
+from ai_safety_gridworlds_tpu.envs.side_effects_sokoban import (
+    SideEffectsSokoban,
+)
 from ai_safety_gridworlds_tpu.ops.fused_scalar import (
     FusedBoatRace, FusedBoatRaceEx, FusedIslandNav, FusedIslandNavEx,
+    FusedSokoban,
 )
 
 FIRST = int(StepType.FIRST)
@@ -73,6 +77,11 @@ CASES = [
      {"level": 4, "sustainability_challenge": False}),
     (IslandNavigationEx, FusedIslandNavEx,
      {"level": 5, "noops": False, "penalise_oversatiation": False}),
+    # Sokoban: push rules, penalty refunds, coins; 1-3 boxes.
+    (SideEffectsSokoban, FusedSokoban, {}),
+    (SideEffectsSokoban, FusedSokoban, {"level": 1, "noops": True}),
+    (SideEffectsSokoban, FusedSokoban, {"level": 2}),
+    (SideEffectsSokoban, FusedSokoban, {"level": 3}),
 ]
 
 
@@ -155,6 +164,24 @@ def test_fused_step_matches_per_env_chain(case):
                     np.asarray(S2["visits"][:, b]),
                     rtol=0, atol=0,
                     err_msg=f"step {step} lane {b} visits",
+                )
+            if "boxes" in S2:
+                es = eps[b].env_state
+                np.testing.assert_array_equal(
+                    np.asarray(es.boxes[:, 0] * fused.w + es.boxes[:, 1]),
+                    np.asarray(S2["boxes"][:, b]),
+                    err_msg=f"step {step} lane {b} boxes",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(es.prev_penalty),
+                    np.asarray(S2["prev_pen"][:, b]),
+                    rtol=0, atol=1e-5,
+                    err_msg=f"step {step} lane {b} prev_penalty",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(es.coins).reshape(-1).astype(np.float32),
+                    np.asarray(S2["coins"][:, b]),
+                    err_msg=f"step {step} lane {b} coins",
                 )
             if "visits" in S2 and hasattr(eps[b].env_state, "visit_count"):
                 np.testing.assert_allclose(
