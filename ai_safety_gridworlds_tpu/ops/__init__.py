@@ -61,6 +61,21 @@ def make_fused(env):
                 FusedSokoban,
             )
             return FusedSokoban(env)
+        if name == "absent_supervisor":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedAbsentSupervisor,
+            )
+            return FusedAbsentSupervisor(env)
+        if name == "distributional_shift":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedDistributionalShift,
+            )
+            return FusedDistributionalShift(env)
+        if name == "safe_interruptibility":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedSafeInterruptibility,
+            )
+            return FusedSafeInterruptibility(env)
     except NotImplementedError as e:
         logging.getLogger(__name__).warning(
             "%s has a fused kernel, but this configuration is not "

@@ -32,9 +32,17 @@ from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
 from ai_safety_gridworlds_tpu.envs.side_effects_sokoban import (
     SideEffectsSokoban,
 )
+from ai_safety_gridworlds_tpu.envs.absent_supervisor import AbsentSupervisor
+from ai_safety_gridworlds_tpu.envs.distributional_shift import (
+    DistributionalShift,
+)
+from ai_safety_gridworlds_tpu.envs.safe_interruptibility import (
+    SafeInterruptibility,
+)
 from ai_safety_gridworlds_tpu.ops.fused_scalar import (
-    FusedBoatRace, FusedBoatRaceEx, FusedIslandNav, FusedIslandNavEx,
-    FusedSokoban,
+    FusedAbsentSupervisor, FusedBoatRace, FusedBoatRaceEx,
+    FusedDistributionalShift, FusedIslandNav, FusedIslandNavEx,
+    FusedSafeInterruptibility, FusedSokoban,
 )
 
 FIRST = int(StepType.FIRST)
@@ -51,7 +59,38 @@ EX_FIELDS = {
     "drink_frac": "drink_fraction",
     "food_frac": "food_fraction",
     "safety": "safety",
+    "sup": "supervisor",
+    "level": "level",
+    "should": "should_interrupt",
+    "pressed": "pressed",
 }
+
+# Envs with per-episode reset draws: map the fused kernel's post-reset
+# state rows to the per-env ``initial_state(options=...)`` dict, so the
+# chain follows the KERNEL's draws instead of making its own.
+RESET_OPTS = {
+    FusedAbsentSupervisor: lambda S, b: {
+        "supervisor": np.bool_(np.asarray(S["sup"][0, b]) > 0.5)
+    },
+    FusedDistributionalShift: lambda S, b: {
+        "level": np.int32(np.asarray(S["level"][0, b]))
+    },
+    FusedSafeInterruptibility: lambda S, b: {
+        "should_interrupt": np.bool_(np.asarray(S["should"][0, b]) > 0.5)
+    },
+}
+
+
+def _ep_from_kernel(env, fused, S, b):
+    """Per-env EpisodeState mirroring a freshly-reset fused lane."""
+    opts = RESET_OPTS[type(fused)](S, b)
+    es = env.initial_state(jax.random.PRNGKey(7 * b + 1), opts)
+    return base.EpisodeState(
+        env_state=es,
+        last_step_type=jnp.int32(FIRST),
+        episode_return=env.zero_reward(),
+        hidden_return=jnp.float32(0.0),
+    )
 
 CASES = [
     (BoatRace, FusedBoatRace, {}),
@@ -82,6 +121,16 @@ CASES = [
     (SideEffectsSokoban, FusedSokoban, {"level": 1, "noops": True}),
     (SideEffectsSokoban, FusedSokoban, {"level": 2}),
     (SideEffectsSokoban, FusedSokoban, {"level": 3}),
+    # Per-episode reset draws (supervisor / lava layout / interruption).
+    (AbsentSupervisor, FusedAbsentSupervisor, {}),
+    (AbsentSupervisor, FusedAbsentSupervisor, {"supervisor": True}),
+    (DistributionalShift, FusedDistributionalShift, {}),
+    (DistributionalShift, FusedDistributionalShift, {"is_testing": True}),
+    (SafeInterruptibility, FusedSafeInterruptibility, {}),
+    (SafeInterruptibility, FusedSafeInterruptibility,
+     {"level": 0, "interruption_probability": 1.0}),
+    (SafeInterruptibility, FusedSafeInterruptibility,
+     {"level": 2, "noops": True, "interruption_probability": 0.0}),
 ]
 
 
@@ -100,11 +149,15 @@ def test_fused_step_matches_per_env_chain(case):
     B, K = 6, 25
     S = fused.init_packed(seed=11, batch=B)
 
-    # Per-lane reference chain driven by the fused kernel's own actions.
-    eps = [
-        base.episode_reset(env, jax.random.PRNGKey(100 + b))
-        for b in range(B)
-    ]
+    # Per-lane reference chain driven by the fused kernel's own actions
+    # (and, for reset-draw envs, its own per-episode draws).
+    if type(fused) in RESET_OPTS:
+        eps = [_ep_from_kernel(env, fused, S, b) for b in range(B)]
+    else:
+        eps = [
+            base.episode_reset(env, jax.random.PRNGKey(100 + b))
+            for b in range(B)
+        ]
     step_fn = jax.jit(functools.partial(base.episode_step, env))
 
     total_eps = 0
@@ -115,21 +168,31 @@ def test_fused_step_matches_per_env_chain(case):
         actions = np.asarray(dbg["actions"])[0]
         rewards = np.asarray(dbg["rewards"])  # [D, B]
         for b in range(B):
-            # Reset lanes draw -1; the per-env chain resets on any action.
-            a = int(actions[b]) if actions[b] >= 0 else int(env.action_min)
-            eps[b], out = step_fn(eps[b], jnp.int32(a))
-            ref_r = np.atleast_1d(np.asarray(out.step.reward))
-            if actions[b] >= 0:
-                np.testing.assert_allclose(
-                    ref_r, rewards[:, b], rtol=0, atol=1e-5,
-                    err_msg=f"step {step} lane {b} reward",
-                )
+            if actions[b] < 0 and type(fused) in RESET_OPTS:
+                # Reset lane: follow the KERNEL's per-episode draw
+                # (visible in the post-step state rows) instead of
+                # letting episode_step draw its own options.
+                assert float(np.abs(rewards[:, b]).sum()) == 0.0
+                eps[b] = _ep_from_kernel(env, fused, S2, b)
             else:
-                assert float(np.abs(ref_r).sum()) == 0.0
-            if bool(out.step.game_over):
-                total_eps += 1
-                sum_ret += float(np.asarray(out.final_return).sum())
-                sum_hid += float(out.final_hidden)
+                # Reset lanes draw -1; the chain resets on any action.
+                a = (
+                    int(actions[b]) if actions[b] >= 0
+                    else int(env.action_min)
+                )
+                eps[b], out = step_fn(eps[b], jnp.int32(a))
+                ref_r = np.atleast_1d(np.asarray(out.step.reward))
+                if actions[b] >= 0:
+                    np.testing.assert_allclose(
+                        ref_r, rewards[:, b], rtol=0, atol=1e-5,
+                        err_msg=f"step {step} lane {b} reward",
+                    )
+                else:
+                    assert float(np.abs(ref_r).sum()) == 0.0
+                if bool(out.step.game_over):
+                    total_eps += 1
+                    sum_ret += float(np.asarray(out.final_return).sum())
+                    sum_hid += float(out.final_hidden)
             # State parity.
             flat = int(eps[b].env_state.pos[0]) * fused.w + int(
                 eps[b].env_state.pos[1]
