@@ -76,6 +76,16 @@ def make_fused(env):
                 FusedSafeInterruptibility,
             )
             return FusedSafeInterruptibility(env)
+        if name == "whisky_gold":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedWhiskyGold,
+            )
+            return FusedWhiskyGold(env)
+        if name in ("tomato_watering", "tomato_crmdp"):
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedTomatoWatering,
+            )
+            return FusedTomatoWatering(env)
     except NotImplementedError as e:
         logging.getLogger(__name__).warning(
             "%s has a fused kernel, but this configuration is not "

@@ -39,10 +39,15 @@ from ai_safety_gridworlds_tpu.envs.distributional_shift import (
 from ai_safety_gridworlds_tpu.envs.safe_interruptibility import (
     SafeInterruptibility,
 )
+from ai_safety_gridworlds_tpu.envs.whisky_gold import WhiskyGold
+from ai_safety_gridworlds_tpu.envs.tomato_watering import (
+    TomatoCRMDP, TomatoWatering,
+)
 from ai_safety_gridworlds_tpu.ops.fused_scalar import (
     FusedAbsentSupervisor, FusedBoatRace, FusedBoatRaceEx,
     FusedDistributionalShift, FusedIslandNav, FusedIslandNavEx,
-    FusedSafeInterruptibility, FusedSokoban,
+    FusedSafeInterruptibility, FusedSokoban, FusedTomatoWatering,
+    FusedWhiskyGold,
 )
 
 FIRST = int(StepType.FIRST)
@@ -63,6 +68,8 @@ EX_FIELDS = {
     "level": "level",
     "should": "should_interrupt",
     "pressed": "pressed",
+    "drunk": "drunk",
+    "exploring": "exploring",
 }
 
 # Envs with per-episode reset draws: map the fused kernel's post-reset
@@ -131,6 +138,8 @@ CASES = [
      {"level": 0, "interruption_probability": 1.0}),
     (SafeInterruptibility, FusedSafeInterruptibility,
      {"level": 2, "noops": True, "interruption_probability": 0.0}),
+    # Whisky gold (agent mode: the exploration hijack is human-only).
+    (WhiskyGold, FusedWhiskyGold, {}),
 ]
 
 
@@ -317,3 +326,92 @@ def test_fused_ppo_composes_on_scalar_kernel():
         assert np.isfinite(np.asarray(v)).all(), k
     state, _ = train(state)
     assert int(state.update_idx) == 2
+
+
+@pytest.mark.parametrize("crmdp", [False, True], ids=["watering", "crmdp"])
+def test_fused_tomato_matches_per_env_with_injected_draws(crmdp):
+    """Tomato watering: per-step per-tomato dry draws. The per-env chain
+    is driven with the KERNEL's uniforms injected via step options (the
+    same channel ``host_step_options`` uses for reference parity), and
+    the kernel's reset-sweep uniforms via ``reset_dry_draws``."""
+    env = (TomatoCRMDP if crmdp else TomatoWatering)()
+    fused = FusedTomatoWatering(env)
+    B, K = 5, 30
+    S = fused.init_packed(seed=4, batch=B)
+
+    # Per-lane chain state rebuilt from the packed initial state (the
+    # init reset sweep is host-drawn inside init_packed).
+    states = []
+    for b in range(B):
+        st = env.initial_state(
+            jax.random.PRNGKey(b),
+            options={"reset_dry_draws": jnp.full((fused.nt,), 2.0)},
+        )
+        st = st.replace(
+            watered=jnp.asarray(np.asarray(S["watered"][:, b]) > 0.5)
+        )
+        states.append(st)
+    last_types = [FIRST] * B
+    ep_ret = [0.0] * B
+    step_jit = jax.jit(env.step)
+
+    for step in range(K):
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        actions = np.asarray(dbg["actions"])[0]
+        rewards = np.asarray(dbg["rewards"])[0]
+        u_phys = np.asarray(dbg["u_phys"])
+        u_reset = np.asarray(dbg["u_reset"])
+        for b in range(B):
+            if actions[b] < 0:
+                # Reset lane: replay the kernel's reset sweep.
+                states[b] = env.initial_state(
+                    jax.random.PRNGKey(100 + b),
+                    options={
+                        "reset_dry_draws": jnp.asarray(u_reset[:, b])
+                    },
+                )
+                last_types[b] = FIRST
+                ep_ret[b] = 0.0
+                assert rewards[b] == 0.0
+            else:
+                states[b], out = step_jit(
+                    states[b], jnp.int32(int(actions[b])),
+                    options={"dry_draws": jnp.asarray(u_phys[:, b])},
+                )
+                last_types[b] = int(out.step_type)
+                ep_ret[b] += float(out.reward)
+                np.testing.assert_allclose(
+                    float(out.reward), rewards[b], rtol=0, atol=1e-5,
+                    err_msg=f"step {step} lane {b} reward",
+                )
+            es = states[b]
+            flat = int(es.pos[0]) * fused.w + int(es.pos[1])
+            assert flat == int(np.asarray(S2["pos"][0, b]))
+            assert last_types[b] == int(np.asarray(S2["step_types"][0, b]))
+            np.testing.assert_array_equal(
+                np.asarray(es.watered).astype(np.float32),
+                np.asarray(S2["watered"][:, b]),
+                err_msg=f"step {step} lane {b} watered",
+            )
+            assert ep_ret[b] == pytest.approx(
+                float(np.asarray(S2["ep_ret"][0, b])), abs=1e-4
+            )
+        S = S2
+
+
+def test_fused_tomato_xla_pallas_bit_identical():
+    fused = FusedTomatoWatering(TomatoWatering())
+    S0 = fused.init_packed(seed=6, batch=256)
+    Sx = fused.rollout(dict(S0), n_steps=50, backend="xla")
+    Sp = fused.rollout(dict(S0), n_steps=50, backend="pallas", tile=128)
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+
+
+def test_fused_whisky_human_mode_falls_back():
+    from ai_safety_gridworlds_tpu import ops
+
+    assert ops.make_fused(WhiskyGold(human_player=True)) is None
+    assert isinstance(ops.make_fused(WhiskyGold()), FusedWhiskyGold)
