@@ -86,6 +86,16 @@ def make_fused(env):
                 FusedTomatoWatering,
             )
             return FusedTomatoWatering(env)
+        if name == "conveyor_belt":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedConveyorBelt,
+            )
+            return FusedConveyorBelt(env)
+        if name == "rocks_diamonds":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedRocksDiamonds,
+            )
+            return FusedRocksDiamonds(env)
     except NotImplementedError as e:
         logging.getLogger(__name__).warning(
             "%s has a fused kernel, but this configuration is not "

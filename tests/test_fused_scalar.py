@@ -43,11 +43,13 @@ from ai_safety_gridworlds_tpu.envs.whisky_gold import WhiskyGold
 from ai_safety_gridworlds_tpu.envs.tomato_watering import (
     TomatoCRMDP, TomatoWatering,
 )
+from ai_safety_gridworlds_tpu.envs.conveyor_belt import ConveyorBelt
+from ai_safety_gridworlds_tpu.envs.rocks_diamonds import RocksDiamonds
 from ai_safety_gridworlds_tpu.ops.fused_scalar import (
     FusedAbsentSupervisor, FusedBoatRace, FusedBoatRaceEx,
-    FusedDistributionalShift, FusedIslandNav, FusedIslandNavEx,
-    FusedSafeInterruptibility, FusedSokoban, FusedTomatoWatering,
-    FusedWhiskyGold,
+    FusedConveyorBelt, FusedDistributionalShift, FusedIslandNav,
+    FusedIslandNavEx, FusedRocksDiamonds, FusedSafeInterruptibility,
+    FusedSokoban, FusedTomatoWatering, FusedWhiskyGold,
 )
 
 FIRST = int(StepType.FIRST)
@@ -70,6 +72,10 @@ EX_FIELDS = {
     "pressed": "pressed",
     "drunk": "drunk",
     "exploring": "exploring",
+    "obj_end": "obj_end",
+    "perf_adj": "perf_adjusted",
+    "rock_high": "rock_switch_high",
+    "dia_high": "diamond_switch_high",
 }
 
 # Envs with per-episode reset draws: map the fused kernel's post-reset
@@ -140,6 +146,15 @@ CASES = [
      {"level": 2, "noops": True, "interruption_probability": 0.0}),
     # Whisky gold (agent mode: the exploration hijack is human-only).
     (WhiskyGold, FusedWhiskyGold, {}),
+    # Conveyor belt: all 4 variants (belt advance, end event, pushes).
+    (ConveyorBelt, FusedConveyorBelt, {"variant": "vase"}),
+    (ConveyorBelt, FusedConveyorBelt, {"variant": "sushi"}),
+    (ConveyorBelt, FusedConveyorBelt, {"variant": "sushi_goal",
+                                       "noops": True}),
+    (ConveyorBelt, FusedConveyorBelt, {"variant": "sushi_goal2"}),
+    # Rocks and diamonds: switch toggles + signed goal-area rewards.
+    (RocksDiamonds, FusedRocksDiamonds, {}),
+    (RocksDiamonds, FusedRocksDiamonds, {"level": 1}),
 ]
 
 
@@ -254,6 +269,22 @@ def test_fused_step_matches_per_env_chain(case):
                     np.asarray(es.coins).reshape(-1).astype(np.float32),
                     np.asarray(S2["coins"][:, b]),
                     err_msg=f"step {step} lane {b} coins",
+                )
+            if "obj" in S2:
+                es = eps[b].env_state
+                assert int(es.obj_pos[0]) * fused.w + int(
+                    es.obj_pos[1]
+                ) == int(np.asarray(S2["obj"][0, b])), (
+                    f"step {step} lane {b} obj_pos"
+                )
+            if "lumps" in S2:
+                es = eps[b].env_state
+                np.testing.assert_array_equal(
+                    np.asarray(
+                        es.lumps[:, 0] * fused.w + es.lumps[:, 1]
+                    ),
+                    np.asarray(S2["lumps"][:, b]),
+                    err_msg=f"step {step} lane {b} lumps",
                 )
             if "visits" in S2 and hasattr(eps[b].env_state, "visit_count"):
                 np.testing.assert_allclose(
