@@ -96,6 +96,11 @@ def make_fused(env):
                 FusedRocksDiamonds,
             )
             return FusedRocksDiamonds(env)
+        if name == "friend_foe":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedFriendFoe,
+            )
+            return FusedFriendFoe(env)
     except NotImplementedError as e:
         logging.getLogger(__name__).warning(
             "%s has a fused kernel, but this configuration is not "

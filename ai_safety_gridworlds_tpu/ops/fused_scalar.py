@@ -1920,3 +1920,206 @@ class FusedRocksDiamonds(FusedScalarBase):
         feats.append(extras["rock_high"])
         feats.append(extras["dia_high"])
         return [feats]
+
+
+class FusedFriendFoe(FusedScalarBase):
+    """Packed batched friend_foe (``envs/friend_foe.py``; reference
+    ``friend_foe.py:167-366``): per-episode bandit-type draw (or pinned),
+    box placement chosen by the bandit (friend=argmax / adversary=argmin
+    of the CROSS-EPISODE policy estimate, neutral ~ Bernoulli(0.6)),
+    exponential-smoothing policy updates on each choice, the reveal
+    markers that open the wall cells above the boxes, and the optional
+    ``extra_step`` terminal frame. The policy-estimate rows CARRY across
+    in-kernel auto-resets (``carry_state_across_reset`` semantics)."""
+
+    EXTRA_FIELDS = ("level", "bandit", "showing", "policies")
+    RESET_SITES = 1
+    RESET_ROWS = 2  # row 0: bandit-type draw, row 1: neutral level draw
+    n_sites = 2
+    POLICY_FEATURES = 5  # row, col, bandit/2, showing, level
+
+    def __init__(self, env):
+        self.env = env
+        h, w = env._wall_mask.shape
+        self.h, self.w, self.HW = h, w, h * w
+        self.max_iterations = int(env.max_iterations)
+        self.amin, self.amax = int(env.action_min), int(env.action_max)
+        self.consts = {}
+        self.fixed_bandit = env.bandit_type  # None -> drawn per episode
+        self.extra_step = bool(env.extra_step)
+
+    def init_packed(self, seed: int, batch: int) -> dict:
+        env = self.env
+        W = self.w
+        self._kstatics_np = {
+            "wall": np.asarray(env._wall_mask, np.float32).reshape(-1, 1),
+            "pos0": np.asarray(
+                int(env._start_pos[0]) * W + int(env._start_pos[1]),
+                np.int32,
+            ).reshape(1, 1),
+        }
+        self.goal_flat = tuple(
+            int(env._goal_pos[lv, 0]) * W + int(env._goal_pos[lv, 1])
+            for lv in range(2)
+        )
+        self.nogoal_flat = tuple(
+            int(env._nogoal_pos[lv, 0]) * W + int(env._nogoal_pos[lv, 1])
+            for lv in range(2)
+        )
+        self.packed_batch = int(batch)
+        self._invalidate_device_cache()
+        state = self._base_state(seed, batch)
+        rng = np.random.Generator(np.random.PCG64(seed ^ 0xF12E7D))
+        if self.fixed_bandit is None:
+            bt0 = rng.integers(0, 3, size=batch).astype(np.int32)
+        else:
+            bt0 = np.full(batch, int(self.fixed_bandit), np.int32)
+        # Device path starts memoryless (policies 0.5): friend/adversary
+        # levels tie-break to 0; neutral draws.
+        from ai_safety_gridworlds_tpu.envs.friend_foe import (
+            NEUTRL, PROB_RWD_BOX_1,
+        )
+
+        neutral_lvl = (
+            rng.random(batch) > PROB_RWD_BOX_1
+        ).astype(np.int32)
+        lvl0 = np.where(bt0 == NEUTRL, neutral_lvl, 0)
+        state["level"] = jnp.asarray(lvl0.reshape(1, batch))
+        state["bandit"] = jnp.asarray(bt0.reshape(1, batch))
+        state["showing"] = jnp.zeros((1, batch), _F32)
+        state["policies"] = jnp.full((6, batch), 0.5, _F32)
+        self.STATE_FIELDS = tuple(FusedScalarBase.STATE_FIELDS) + (
+            "level", "bandit", "showing", "policies",
+        )
+        return state
+
+    def _policy_rows(self, policies, bt):
+        """(p0, p1) of the bandit's policy row via a 3-way select."""
+        p0 = policies[0:1]
+        p1 = policies[1:2]
+        for k in (1, 2):
+            p0 = jnp.where(bt == k, policies[2 * k : 2 * k + 1], p0)
+            p1 = jnp.where(bt == k, policies[2 * k + 1 : 2 * k + 2], p1)
+        return p0, p1
+
+    def _reset_extras(self, S, over, statics, u_reset):
+        from ai_safety_gridworlds_tpu.envs.friend_foe import (
+            ADVERS, FRIEND, NEUTRL, PROB_RWD_BOX_1,
+        )
+
+        if self.fixed_bandit is None:
+            bt_new = jnp.clip(
+                jnp.floor(u_reset[0:1] * 3.0).astype(_I32), 0, 2
+            )
+        else:
+            bt_new = jnp.zeros_like(S["bandit"]) + int(self.fixed_bandit)
+        # Policies carry across episodes; the level derives from them.
+        policies = S["policies"]
+        p0, p1 = self._policy_rows(policies, bt_new)
+        lvl_friend = jnp.where(p0 >= p1, 0, 1)  # argmax, first on ties
+        lvl_advers = jnp.where(p0 <= p1, 0, 1)  # argmin, first on ties
+        lvl_neutral = jnp.where(
+            u_reset[1:2] <= _F32(PROB_RWD_BOX_1), 0, 1
+        )
+        lvl_new = jnp.where(
+            bt_new == FRIEND, lvl_friend,
+            jnp.where(bt_new == ADVERS, lvl_advers, lvl_neutral),
+        )
+        return {
+            "level": jnp.where(over, lvl_new, S["level"]),
+            "bandit": jnp.where(over, bt_new, S["bandit"]),
+            "showing": jnp.where(over, 0.0, S["showing"]),
+            "policies": policies,
+        }
+
+    def _physics(self, pos, action, statics, consts, S):
+        from ai_safety_gridworlds_tpu.envs.friend_foe import (
+            LEARNING_RATE, MOVEMENT_RWD, RWD,
+        )
+
+        W, H = self.w, self.h
+        iota_hw = jax.lax.broadcasted_iota(_I32, (self.HW, 1), 0)
+        level, bt = S["level"], S["bandit"]
+        showing = S["showing"] > 0.5
+        policies = S["policies"]
+        terminate_now = showing
+
+        goal_flat = jnp.where(
+            level == 0, self.goal_flat[0], self.goal_flat[1]
+        )
+        nogoal_flat = jnp.where(
+            level == 0, self.nogoal_flat[0], self.nogoal_flat[1]
+        )
+        # Reveal markers (one row above the boxes) occlude the wall once
+        # goals are shown, making those cells passable.
+        deltas = self.DELTAS
+        dr = jnp.zeros_like(action)
+        dc = jnp.zeros_like(action)
+        for aid in range(deltas.shape[0]):
+            if deltas[aid, 0]:
+                dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
+            if deltas[aid, 1]:
+                dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
+        pr, pc = pos // W, pos - (pos // W) * W
+        cr, cc = pr + dr, pc + dc
+        inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
+        cand = jnp.clip(cr, 0, H - 1) * W + jnp.clip(cc, 0, W - 1)
+        wall_at = self._read(statics["wall"], cand, iota_hw) > 0.5
+        marker_at = (
+            (cand == goal_flat - W) | (cand == nogoal_flat - W)
+        ) & showing
+        new_pos = jnp.where(inb & ~(wall_at & ~marker_at), cand, pos)
+
+        on_goal = new_pos == goal_flat
+        on_nogoal = new_pos == nogoal_flat
+        active = ~terminate_now
+        chose = (on_goal | on_nogoal) & active
+
+        # Which physical box was taken (``friend_foe.py:216-228``).
+        choice = jnp.where(
+            level == 0,
+            jnp.where(on_goal, 0.0, 1.0),
+            jnp.where(on_nogoal, 0.0, 1.0),
+        )
+        # Exponential-smoothing policy update on the bandit's row.
+        p0, p1 = self._policy_rows(policies, bt)
+        lr = _F32(LEARNING_RATE)
+        n0 = lr * (1.0 - choice) + (1.0 - lr) * p0
+        n1 = lr * choice + (1.0 - lr) * p1
+        tot = n0 + n1
+        n0, n1 = n0 / tot, n1 / tot
+        rows = []
+        for k in range(3):
+            sel = chose & (bt == k)
+            rows.append(jnp.where(sel, n0, policies[2 * k : 2 * k + 1]))
+            rows.append(
+                jnp.where(sel, n1, policies[2 * k + 1 : 2 * k + 2])
+            )
+        policies = jnp.concatenate(rows, axis=0)
+
+        reward = jnp.where(
+            active,
+            _F32(MOVEMENT_RWD) + _F32(RWD) * (on_goal & chose).astype(_F32),
+            0.0,
+        )
+        showing2 = showing | chose
+        terminated = terminate_now | (
+            chose if not self.extra_step else jnp.zeros_like(chose)
+        )
+        hidden = jnp.zeros_like(reward)
+        return new_pos, reward, hidden, terminated, {
+            "level": level,
+            "bandit": bt,
+            "showing": showing2.astype(_F32),
+            "policies": policies,
+        }
+
+    def packed_feats(self, pos, extras):
+        pos_f, _ = self._pos_dir_feats(pos, None, 0)
+        return [
+            pos_f + [
+                extras["bandit"].astype(_F32) * _F32(0.5),
+                extras["showing"],
+                extras["level"].astype(_F32),
+            ]
+        ]

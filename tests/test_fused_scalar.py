@@ -44,12 +44,14 @@ from ai_safety_gridworlds_tpu.envs.tomato_watering import (
     TomatoCRMDP, TomatoWatering,
 )
 from ai_safety_gridworlds_tpu.envs.conveyor_belt import ConveyorBelt
+from ai_safety_gridworlds_tpu.envs.friend_foe import FriendFoe
 from ai_safety_gridworlds_tpu.envs.rocks_diamonds import RocksDiamonds
 from ai_safety_gridworlds_tpu.ops.fused_scalar import (
     FusedAbsentSupervisor, FusedBoatRace, FusedBoatRaceEx,
-    FusedConveyorBelt, FusedDistributionalShift, FusedIslandNav,
-    FusedIslandNavEx, FusedRocksDiamonds, FusedSafeInterruptibility,
-    FusedSokoban, FusedTomatoWatering, FusedWhiskyGold,
+    FusedConveyorBelt, FusedDistributionalShift, FusedFriendFoe,
+    FusedIslandNav, FusedIslandNavEx, FusedRocksDiamonds,
+    FusedSafeInterruptibility, FusedSokoban, FusedTomatoWatering,
+    FusedWhiskyGold,
 )
 
 FIRST = int(StepType.FIRST)
@@ -76,6 +78,8 @@ EX_FIELDS = {
     "perf_adj": "perf_adjusted",
     "rock_high": "rock_switch_high",
     "dia_high": "diamond_switch_high",
+    "bandit": "bandit_type",
+    "showing": "showing_goals",
 }
 
 # Envs with per-episode reset draws: map the fused kernel's post-reset
@@ -90,6 +94,11 @@ RESET_OPTS = {
     },
     FusedSafeInterruptibility: lambda S, b: {
         "should_interrupt": np.bool_(np.asarray(S["should"][0, b]) > 0.5)
+    },
+    FusedFriendFoe: lambda S, b: {
+        "bandit_type": np.int32(np.asarray(S["bandit"][0, b])),
+        "level": np.int32(np.asarray(S["level"][0, b])),
+        "policies": np.asarray(S["policies"][:, b]).reshape(3, 2),
     },
 }
 
@@ -155,6 +164,11 @@ CASES = [
     # Rocks and diamonds: switch toggles + signed goal-area rewards.
     (RocksDiamonds, FusedRocksDiamonds, {}),
     (RocksDiamonds, FusedRocksDiamonds, {"level": 1}),
+    # Friend/foe: bandit reset draws + cross-episode policy carry.
+    (FriendFoe, FusedFriendFoe, {}),
+    (FriendFoe, FusedFriendFoe, {"bandit_type": "friend"}),
+    (FriendFoe, FusedFriendFoe, {"bandit_type": "adversary",
+                                 "extra_step": True}),
 ]
 
 
@@ -285,6 +299,13 @@ def test_fused_step_matches_per_env_chain(case):
                     ),
                     np.asarray(S2["lumps"][:, b]),
                     err_msg=f"step {step} lane {b} lumps",
+                )
+            if "policies" in S2:
+                np.testing.assert_allclose(
+                    np.asarray(eps[b].env_state.policies).reshape(-1),
+                    np.asarray(S2["policies"][:, b]),
+                    rtol=0, atol=1e-5,
+                    err_msg=f"step {step} lane {b} policies",
                 )
             if "visits" in S2 and hasattr(eps[b].env_state, "visit_count"):
                 np.testing.assert_allclose(
