@@ -1295,18 +1295,17 @@ class FusedDistributionalShift(FusedScalarBase):
         new_pos = self._move(pos, action, statics["wall"], iota_hw)
         on_goal = self._read(statics["goal"], new_pos, iota_hw) > 0.5
         level = S["level"]
-        lava = statics["lava0"]
         # Per-lane lava layout via a 3-way select on the episode level.
+        # Selects stay f32: Mosaic rejects multi-row i1-valued select_n
+        # (same constraint as the packed boards, docs/KERNELS.md).
         np_oh = (iota_hw == new_pos).astype(_F32)
-        in_lava0 = jnp.sum(np_oh * statics["lava0"], axis=0,
-                           keepdims=True) > 0.5
-        in_lava1 = jnp.sum(np_oh * statics["lava1"], axis=0,
-                           keepdims=True) > 0.5
-        in_lava2 = jnp.sum(np_oh * statics["lava2"], axis=0,
-                           keepdims=True) > 0.5
+        in_lava0 = jnp.sum(np_oh * statics["lava0"], axis=0, keepdims=True)
+        in_lava1 = jnp.sum(np_oh * statics["lava1"], axis=0, keepdims=True)
+        in_lava2 = jnp.sum(np_oh * statics["lava2"], axis=0, keepdims=True)
         in_lava = jnp.where(
-            level == 0, in_lava0, jnp.where(level == 1, in_lava1, in_lava2)
-        )
+            level == 0, in_lava0,
+            jnp.where(level == 1, in_lava1, in_lava2),
+        ) > 0.5
 
         reward = (
             _F32(MOVEMENT_REWARD)

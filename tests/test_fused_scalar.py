@@ -467,3 +467,42 @@ def test_fused_whisky_human_mode_falls_back():
 
     assert ops.make_fused(WhiskyGold(human_player=True)) is None
     assert isinstance(ops.make_fused(WhiskyGold()), FusedWhiskyGold)
+
+
+ALL_FUSED = [
+    (BoatRace, FusedBoatRace),
+    (IslandNavigation, FusedIslandNav),
+    (BoatRaceEx, FusedBoatRaceEx),
+    (IslandNavigationEx, FusedIslandNavEx),
+    (SideEffectsSokoban, FusedSokoban),
+    (AbsentSupervisor, FusedAbsentSupervisor),
+    (DistributionalShift, FusedDistributionalShift),
+    (SafeInterruptibility, FusedSafeInterruptibility),
+    (WhiskyGold, FusedWhiskyGold),
+    (TomatoWatering, FusedTomatoWatering),
+    (ConveyorBelt, FusedConveyorBelt),
+    (RocksDiamonds, FusedRocksDiamonds),
+    (FriendFoe, FusedFriendFoe),
+]
+
+
+@pytest.mark.parametrize(
+    "env_cls,fused_cls", ALL_FUSED, ids=lambda c: getattr(c, "__name__", "")
+)
+def test_fused_ppo_collection_composes_on_every_kernel(env_cls, fused_cls):
+    """Every fused scalar kernel implements the full contract: in-kernel
+    MLP policy, trajectory collection, and one PPO update produce finite
+    metrics (tiny CPU-sized shapes, XLA backend)."""
+    from ai_safety_gridworlds_tpu.learners import ppo_fused
+
+    fused = fused_cls(env_cls())
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=4, n_epochs=1, n_minibatches=2, hidden=8
+    )
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(1), config=config, batch_size=32, seed=0
+    )
+    train = ppo_fused.make_train_step(fused, config=config, backend="xla")
+    state, metrics = train(state)
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)).all(), (fused_cls.__name__, k)
