@@ -332,3 +332,53 @@ def test_device_reset_art_flag_topup_counts():
         assert int(np.asarray(st.drink_curtain).sum()) == 5, s
         assert float(np.asarray(st.food_avail)) == 4.0
         assert float(np.asarray(st.drink_avail)) == 5.0
+
+
+def test_lockstep_quit_on_water_applies_contact_penalty():
+    """A QUITting (not dead) agent standing on a danger tile still gets
+    the water contact penalty: the reference's drape gates on
+    ``player.character in actions`` (``aintelope_savanna.py:1072-1073``),
+    which includes QUIT. Random-walks until agent_0 stands on water, then
+    QUITs it and lockstep-compares the final rewards."""
+    ref, ours = make_pair(
+        amount_agents=2, amount_water_tiles=6, amount_predators=2,
+    )
+    agents = ours.agent_names
+    rng = np.random.RandomState(93)
+    ref_ts, our_ts = sync_reset(ref, ours)
+    found = False
+    for i in range(300):
+        water = np.asarray(ours._state.water)
+        pos0 = np.asarray(ours._state.pos[0])
+        on_water = bool(water[pos0[0], pos0[1]])
+        types = ref_ts.step_type
+        actions = {}
+        for k, a in enumerate(agents):
+            st = types[a] if isinstance(types, dict) else types
+            if int(st) in (int(StepType.LAST), int(StepType.DEAD)):
+                continue
+            if k == 0 and on_water:
+                actions[a] = 9  # QUIT while standing on water
+                found = True
+            else:
+                actions[a] = int(rng.randint(0, 5))
+        if not actions:
+            ref_ts, our_ts = sync_reset(ref, ours)
+            continue
+        ref_gen_state = ref.environment_data["np_random"].bit_generator.state
+        ref_ts = ref.step(actions)
+        ours._np_random.bit_generator.state = ref_gen_state
+        our_ts = ours.step(dict(actions))
+        for a in ref_ts.reward:
+            np.testing.assert_allclose(
+                np.asarray(ref_ts.reward[a], dtype=np.float64),
+                np.asarray(our_ts.reward[a], dtype=np.float64),
+                err_msg=f"step {i} agent {a} (quit={found})",
+                atol=1e-5,
+            )
+        if found:
+            # The penalty itself must be present (INJURY -50 dim).
+            r0 = np.asarray(ref_ts.reward[agents[0]], np.float64)
+            assert r0.sum() != 0.0, "expected a nonzero quit-step reward"
+            break
+    assert found, "agent_0 never stood on water in 300 steps; re-seed"
