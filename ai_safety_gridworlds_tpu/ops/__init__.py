@@ -96,6 +96,16 @@ def make_fused(env):
                 FusedRocksDiamonds,
             )
             return FusedRocksDiamonds(env)
+        if name == "conveyor_belt_ex":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedConveyorBeltEx,
+            )
+            return FusedConveyorBeltEx(env)
+        if name == "safe_interruptibility_ex":
+            from ai_safety_gridworlds_tpu.ops.fused_scalar import (
+                FusedSafeInterruptibilityEx,
+            )
+            return FusedSafeInterruptibilityEx(env)
         if name == "friend_foe":
             from ai_safety_gridworlds_tpu.ops.fused_scalar import (
                 FusedFriendFoe,
@@ -130,10 +140,10 @@ def __getattr__(name):
     if name == "FusedIslandNav":
         from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedIslandNav
         return FusedIslandNav
-    if name == "FusedBoatRaceEx":
-        from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedBoatRaceEx
-        return FusedBoatRaceEx
-    if name == "FusedIslandNavEx":
-        from ai_safety_gridworlds_tpu.ops.fused_scalar import FusedIslandNavEx
-        return FusedIslandNavEx
+    if name.startswith("Fused"):
+        # All remaining kernel classes live in the scalar-family module.
+        from ai_safety_gridworlds_tpu.ops import fused_scalar
+
+        if hasattr(fused_scalar, name):
+            return getattr(fused_scalar, name)
     raise AttributeError(name)

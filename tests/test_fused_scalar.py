@@ -44,13 +44,18 @@ from ai_safety_gridworlds_tpu.envs.tomato_watering import (
     TomatoCRMDP, TomatoWatering,
 )
 from ai_safety_gridworlds_tpu.envs.conveyor_belt import ConveyorBelt
+from ai_safety_gridworlds_tpu.envs.conveyor_belt_ex import ConveyorBeltEx
+from ai_safety_gridworlds_tpu.envs.safe_interruptibility_ex import (
+    SafeInterruptibilityEx,
+)
 from ai_safety_gridworlds_tpu.envs.friend_foe import FriendFoe
 from ai_safety_gridworlds_tpu.envs.rocks_diamonds import RocksDiamonds
 from ai_safety_gridworlds_tpu.ops.fused_scalar import (
     FusedAbsentSupervisor, FusedBoatRace, FusedBoatRaceEx,
-    FusedConveyorBelt, FusedDistributionalShift, FusedFriendFoe,
-    FusedIslandNav, FusedIslandNavEx, FusedRocksDiamonds,
-    FusedSafeInterruptibility, FusedSokoban, FusedTomatoWatering,
+    FusedConveyorBelt, FusedConveyorBeltEx, FusedDistributionalShift,
+    FusedFriendFoe, FusedIslandNav, FusedIslandNavEx,
+    FusedRocksDiamonds, FusedSafeInterruptibility,
+    FusedSafeInterruptibilityEx, FusedSokoban, FusedTomatoWatering,
     FusedWhiskyGold,
 )
 
@@ -93,6 +98,9 @@ RESET_OPTS = {
         "level": np.int32(np.asarray(S["level"][0, b]))
     },
     FusedSafeInterruptibility: lambda S, b: {
+        "should_interrupt": np.bool_(np.asarray(S["should"][0, b]) > 0.5)
+    },
+    FusedSafeInterruptibilityEx: lambda S, b: {
         "should_interrupt": np.bool_(np.asarray(S["should"][0, b]) > 0.5)
     },
     FusedFriendFoe: lambda S, b: {
@@ -164,6 +172,13 @@ CASES = [
     # Rocks and diamonds: switch toggles + signed goal-area rewards.
     (RocksDiamonds, FusedRocksDiamonds, {}),
     (RocksDiamonds, FusedRocksDiamonds, {"level": 1}),
+    # MO extended variants (dual-dispatch / doubled-reward quirks).
+    (ConveyorBeltEx, FusedConveyorBeltEx, {"variant": "vase"}),
+    (ConveyorBeltEx, FusedConveyorBeltEx,
+     {"variant": "sushi_goal", "noops": True}),
+    (SafeInterruptibilityEx, FusedSafeInterruptibilityEx, {}),
+    (SafeInterruptibilityEx, FusedSafeInterruptibilityEx,
+     {"level": 2, "interruption_probability": 1.0}),
     # Friend/foe: bandit reset draws + cross-episode policy carry.
     (FriendFoe, FusedFriendFoe, {}),
     (FriendFoe, FusedFriendFoe, {"bandit_type": "friend"}),
@@ -483,6 +498,8 @@ ALL_FUSED = [
     (ConveyorBelt, FusedConveyorBelt),
     (RocksDiamonds, FusedRocksDiamonds),
     (FriendFoe, FusedFriendFoe),
+    (ConveyorBeltEx, FusedConveyorBeltEx),
+    (SafeInterruptibilityEx, FusedSafeInterruptibilityEx),
 ]
 
 
