@@ -107,13 +107,11 @@ class FusedScalarBase(FusedMaBase):
         raise NotImplementedError
 
     # ----------------------------------------------------------- step shell
-    def _move(self, pos, action, wall_f, iota_hw):
-        """Shared move primitive: ``attempt_move_masked`` on packed rows
-        (in-bounds + not-wall, else stay; ``core/movement.py:72-89``)."""
-        W, H = self.w, self.h
-        deltas = self.DELTAS
-        r = pos // W
-        c = pos - r * W
+    def _delta_rows(self, action, table=None):
+        """(dr, dc) [1, B] rows for an action row via a select chain over
+        the (tiny, static) delta table — gathers are banned in the packed
+        layout."""
+        deltas = self.DELTAS if table is None else table
         dr = jnp.zeros_like(action)
         dc = jnp.zeros_like(action)
         for aid in range(deltas.shape[0]):
@@ -121,6 +119,15 @@ class FusedScalarBase(FusedMaBase):
                 dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
             if deltas[aid, 1]:
                 dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
+        return dr, dc
+
+    def _move(self, pos, action, wall_f, iota_hw):
+        """Shared move primitive: ``attempt_move_masked`` on packed rows
+        (in-bounds + not-wall, else stay; ``core/movement.py:72-89``)."""
+        W, H = self.w, self.h
+        r = pos // W
+        c = pos - r * W
+        dr, dc = self._delta_rows(action)
         cr, cc = r + dr, c + dc
         inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
         cand = jnp.clip(cr, 0, H - 1) * W + jnp.clip(cc, 0, W - 1)
@@ -1048,14 +1055,7 @@ class FusedSokoban(FusedScalarBase):
         boxes, prev_pen, coins = S["boxes"], S["prev_pen"], S["coins"]
         is_noop = action == int(Actions.NOOP)
 
-        deltas = self.DELTAS
-        dr = jnp.zeros_like(action)
-        dc = jnp.zeros_like(action)
-        for aid in range(deltas.shape[0]):
-            if deltas[aid, 0]:
-                dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
-            if deltas[aid, 1]:
-                dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
+        dr, dc = self._delta_rows(action)
         is_move = (dr != 0) | (dc != 0)
         pr, pc = pos // W, pos - (pos // W) * W
 
@@ -1669,14 +1669,7 @@ class FusedConveyorBelt(FusedScalarBase):
         ended = obj_end > 0.5
         is_noop = action == int(Actions.NOOP)
 
-        deltas = self.DELTAS
-        dr = jnp.zeros_like(action)
-        dc = jnp.zeros_like(action)
-        for aid in range(deltas.shape[0]):
-            if deltas[aid, 0]:
-                dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
-            if deltas[aid, 1]:
-                dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
+        dr, dc = self._delta_rows(action)
         is_move = (dr != 0) | (dc != 0)
         pr, pc = pos // W, pos - (pos // W) * W
         br, bc = obj // W, obj - (obj // W) * W
@@ -1833,14 +1826,7 @@ class FusedRocksDiamonds(FusedScalarBase):
         rock_high, dia_high = S["rock_high"], S["dia_high"]
         is_noop = action == int(Actions.NOOP)
 
-        deltas = self.DELTAS
-        dr = jnp.zeros_like(action)
-        dc = jnp.zeros_like(action)
-        for aid in range(deltas.shape[0]):
-            if deltas[aid, 0]:
-                dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
-            if deltas[aid, 1]:
-                dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
+        dr, dc = self._delta_rows(action)
         is_move = (dr != 0) | (dc != 0)
         pr, pc = pos // W, pos - (pos // W) * W
 
@@ -2051,14 +2037,7 @@ class FusedFriendFoe(FusedScalarBase):
         )
         # Reveal markers (one row above the boxes) occlude the wall once
         # goals are shown, making those cells passable.
-        deltas = self.DELTAS
-        dr = jnp.zeros_like(action)
-        dc = jnp.zeros_like(action)
-        for aid in range(deltas.shape[0]):
-            if deltas[aid, 0]:
-                dr = jnp.where(action == aid, int(deltas[aid, 0]), dr)
-            if deltas[aid, 1]:
-                dc = jnp.where(action == aid, int(deltas[aid, 1]), dc)
+        dr, dc = self._delta_rows(action)
         pr, pc = pos // W, pos - (pos // W) * W
         cr, cc = pr + dr, pc + dc
         inb = (cr >= 0) & (cr < H) & (cc >= 0) & (cc < W)
@@ -2156,18 +2135,9 @@ class FusedConveyorBeltEx(FusedConveyorBelt):
         ended = obj_end > 0.5
         is_noop = action == int(ActionsMo.NOOP)
 
-        def delta_of(table):
-            dr = jnp.zeros_like(action)
-            dc = jnp.zeros_like(action)
-            for aid in range(table.shape[0]):
-                if table[aid, 0]:
-                    dr = jnp.where(action == aid, int(table[aid, 0]), dr)
-                if table[aid, 1]:
-                    dc = jnp.where(action == aid, int(table[aid, 1]), dc)
-            return dr, dc
-
-        pdr, pdc = delta_of(self._push_deltas)  # scalar reading: pushes
-        mdr, mdc = delta_of(self.DELTAS)        # MO reading: agent move
+        # Scalar reading pushes the object; MO reading moves the agent.
+        pdr, pdc = self._delta_rows(action, self._push_deltas)
+        mdr, mdc = self._delta_rows(action)
         pr, pc = pos // W, pos - (pos // W) * W
         br, bc = obj // W, obj - (obj // W) * W
 
