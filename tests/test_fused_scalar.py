@@ -15,6 +15,7 @@ Mirrors the MA kernel suites (``tests/test_fused_island_ma.py``):
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -194,13 +195,21 @@ def _ids(case):
     )
 
 
+# Fuzz knobs (same convention as tests/test_fuzz_lockstep.py): scale the
+# chain-equivalence sweep beyond CI's single seed with
+#   FUSED_FUZZ_SEEDS=8 FUSED_FUZZ_STEPS=200 pytest tests/test_fused_scalar.py
+_FUZZ_SEEDS = int(os.environ.get("FUSED_FUZZ_SEEDS", "1"))
+_FUZZ_STEPS = int(os.environ.get("FUSED_FUZZ_STEPS", "0"))
+
+
+@pytest.mark.parametrize("fuzz_seed", range(_FUZZ_SEEDS))
 @pytest.mark.parametrize("case", CASES, ids=_ids)
-def test_fused_step_matches_per_env_chain(case):
+def test_fused_step_matches_per_env_chain(case, fuzz_seed):
     env_cls, fused_cls, kw = case
     env = env_cls(**kw)
     fused = fused_cls(env)
-    B, K = 6, 25
-    S = fused.init_packed(seed=11, batch=B)
+    B, K = 6, (_FUZZ_STEPS or 25)
+    S = fused.init_packed(seed=11 + 1000 * fuzz_seed, batch=B)
 
     # Per-lane reference chain driven by the fused kernel's own actions
     # (and, for reset-draw envs, its own per-episode draws).
