@@ -442,7 +442,10 @@ def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS, tile=256):
     return _spread(rates)
 
 
-WORKER_TIMEOUT_S = 2400
+# The r4 full run (21 configs incl. the five fused-scalar rows) takes
+# ~2,250 s with healthy remote compiles — leave headroom for the known
+# sporadic 10-minute compile stalls before the watchdog fires.
+WORKER_TIMEOUT_S = 4500
 
 
 def _results_map(lines):
