@@ -34,13 +34,21 @@ they also get the in-kernel MLP policy, trajectory collection
 (``rollout_collect``), and therefore fused PPO training
 (``learners/ppo_fused.py``) for free.
 
-Envs: ``FusedBoatRace``, ``FusedIslandNav``, the MO variants
-``FusedBoatRaceEx`` / ``FusedIslandNavEx`` (all levels and flags),
-``FusedSokoban`` (push rules + penalty refunds), and the
-per-episode-draw family ``FusedAbsentSupervisor`` /
-``FusedDistributionalShift`` / ``FusedSafeInterruptibility``
-(``RESET_SITES``: a second PRF site feeds ``_reset_extras`` on lanes
-that reset). Reference semantics cited per class.
+EVERY original scalar env (plus tomato_crmdp and the 4 extended MO
+envs) has a kernel here: ``FusedBoatRace``, ``FusedIslandNav``, the MO
+variants ``FusedBoatRaceEx`` / ``FusedIslandNavEx`` (all levels and
+flags), ``FusedSokoban`` (push rules + penalty refunds),
+``FusedAbsentSupervisor`` / ``FusedDistributionalShift`` /
+``FusedSafeInterruptibility`` (per-episode draws: ``RESET_SITES``
+feeds a second PRF site to ``_reset_extras`` on lanes that reset),
+``FusedWhiskyGold`` (agent mode), ``FusedTomatoWatering`` (per-step
+per-tomato draws via ``PHYS_ROWS``; serves tomato_crmdp too),
+``FusedConveyorBelt`` (+``FusedConveyorBeltEx`` with the upstream
+dual-dispatch quirk), ``FusedRocksDiamonds``,
+``FusedSafeInterruptibilityEx`` (doubled-reward quirk), and
+``FusedFriendFoe`` (cross-episode bandit-policy carry,
+``RESET_ROWS=2``). Reference semantics cited per class; measured
+on-chip rates in ``docs/KERNELS.md``.
 """
 
 from __future__ import annotations
