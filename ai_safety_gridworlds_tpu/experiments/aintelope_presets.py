@@ -217,5 +217,19 @@ def make_aintelope_experiment(name: str, **overrides):
     return SafetyEnvironmentMoMa(AIntelopeSavanna(**cfg), **wrapper_kwargs)
 
 
+def make_aintelope_experiment_raw(name: str, **overrides):
+    """The experiment's *functional* env (preset + overrides, no stateful
+    wrapper) — the object the fused kernels and batched drivers consume."""
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+
+    if name not in AINTELOPE_EXPERIMENTS:
+        raise NotImplementedError(f"Unknown aintelope experiment {name!r}")
+    cfg = dict(AINTELOPE_EXPERIMENTS[name])
+    cfg.update(overrides)
+    return AIntelopeSavanna(**cfg)
+
+
 def aintelope_experiment_names():
     return sorted(AINTELOPE_EXPERIMENTS.keys())

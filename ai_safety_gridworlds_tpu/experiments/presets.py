@@ -226,5 +226,19 @@ def make_experiment(name: str, **overrides):
     return SafetyEnvironmentMo(IslandNavigationEx(**cfg), **wrapper_kwargs)
 
 
+def make_experiment_raw(name: str, **overrides):
+    """The experiment's *functional* env (preset + overrides, no stateful
+    wrapper) — the object the fused kernels and batched drivers consume."""
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex import (
+        IslandNavigationEx,
+    )
+
+    if name not in EXPERIMENTS:
+        raise NotImplementedError(f"Unknown experiment {name!r}")
+    cfg = dict(EXPERIMENTS[name])
+    cfg.update(overrides)
+    return IslandNavigationEx(**cfg)
+
+
 def experiment_names():
     return sorted(EXPERIMENTS.keys())

@@ -13,12 +13,19 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 _registry: Dict[str, Callable] = {}
+_raw_registry: Dict[str, Callable] = {}
 
 
 def register(name: str, constructor: Callable, aliases=()):
     _registry[name] = constructor
     for alias in aliases:
         _registry[alias] = constructor
+
+
+def register_raw(name: str, constructor: Callable):
+    """Register the *functional* (unwrapped) env constructor for a name —
+    the object ``ops.make_fused`` and the batched rollout drivers consume."""
+    _raw_registry[name] = constructor
 
 
 def _make_scalar(env_cls):
@@ -123,6 +130,34 @@ def _populate():
         AIntelopeSavanna,
     )
 
+    for raw_name, raw_cls in (
+        ("boat_race", BoatRace),
+        ("island_navigation_ex_ma", IslandNavigationExMa),
+        ("aintelope_savanna", AIntelopeSavanna),
+        ("firemaker_ex_ma", FiremakerExMa),
+        ("conveyor_belt_ex", ConveyorBeltEx),
+        ("safe_interruptibility_ex", SafeInterruptibilityEx),
+        ("boat_race_ex", BoatRaceEx),
+        ("island_navigation", IslandNavigation),
+        ("island_navigation_ex", IslandNavigationEx),
+        ("distributional_shift", DistributionalShift),
+        ("absent_supervisor", AbsentSupervisor),
+        ("whisky_gold", WhiskyGold),
+        ("safe_interruptibility", SafeInterruptibility),
+        ("side_effects_sokoban", SideEffectsSokoban),
+        ("tomato_watering", TomatoWatering),
+        ("tomato_crmdp", TomatoCRMDP),
+        ("rocks_diamonds", RocksDiamonds),
+        ("friend_foe", FriendFoe),
+        ("conveyor_belt", ConveyorBelt),
+    ):
+        register_raw(raw_name, raw_cls)
+    for variant in ("vase", "sushi", "sushi_goal", "sushi_goal2"):
+        register_raw(
+            f"conveyor_belt_{variant}",
+            (lambda v: lambda **kw: ConveyorBelt(variant=v, **kw))(variant),
+        )
+
     register("boat_race", _make_scalar(BoatRace))
     register("island_navigation_ex_ma", _make_moma(IslandNavigationExMa))
     register("aintelope_savanna", _make_moma(AIntelopeSavanna))
@@ -164,11 +199,25 @@ def _populate_experiments():
                 name
             ),
         )
+        register_raw(
+            name,
+            (lambda n: lambda **kw: presets.make_experiment_raw(n, **kw))(
+                name
+            ),
+        )
     for name in aintelope_presets.aintelope_experiment_names():
         register(
             name,
             (
                 lambda n: lambda *a, **kw: aintelope_presets.make_aintelope_experiment(
+                    n, **kw
+                )
+            )(name),
+        )
+        register_raw(
+            name,
+            (
+                lambda n: lambda **kw: aintelope_presets.make_aintelope_experiment_raw(
                     n, **kw
                 )
             )(name),
@@ -188,6 +237,20 @@ def get_environment_obj(name, *args, **kwargs):
             f"The requested environment {name!r} is not available."
         )
     return _registry[name](*args, **kwargs)
+
+
+def get_raw_env(name, **kwargs):
+    """Instantiate the registered *functional* env (no stateful wrapper) —
+    the pytree-native object consumed by ``core.base.rollout``,
+    ``ma.safety_game_ma.ma_rollout``, and ``ops.make_fused``. Use
+    :mod:`ai_safety_gridworlds_tpu.helpers.batched` for one-call batched
+    rollouts that pick the fused kernel automatically."""
+    _populate()
+    if name not in _raw_registry:
+        raise NotImplementedError(
+            f"The requested environment {name!r} is not available."
+        )
+    return _raw_registry[name](**kwargs)
 
 
 def _camel_case(name: str) -> str:
