@@ -79,6 +79,9 @@ REFERENCE_STEPS_PER_SEC = {
     "aintelope_savanna": 1.251e3,
     "aintelope_savanna_sustain": 1.251e3,
     "island_navigation_ex_ma": 964.0,
+    # Sharded (shard_map + pallas on a real TPU mesh) configs.
+    "firemaker_ex_ma_sharded": 607.0,
+    "ppo_island_ma_train_sharded": 964.0,
     # Training configs: vs the same env's reference single-stream step
     # rate (the reference ships no learner at all).
     "ppo_island_ma_train": 964.0,
@@ -255,6 +258,32 @@ def _worker():
         extra={"kernel": "fused_pallas"},
     )
 
+    # The sharded composition on real silicon (r5): shard_map + pallas on
+    # a TPU mesh spanning every available chip, gated on bit-identity with
+    # the unsharded kernel.
+    def _emit_sharded(name, thunk, kernel):
+        import sys
+        import traceback
+
+        try:
+            spread, extra = thunk()
+        except Exception:
+            print(
+                f"bench config {name} failed:\n{traceback.format_exc()}",
+                file=sys.stderr, flush=True,
+            )
+            return
+        emit(name, spread, extra={"kernel": kernel, **extra})
+
+    _emit_sharded(
+        "firemaker_ex_ma_sharded", bench_sharded_rollout,
+        "fused_pallas+shard_map",
+    )
+    _emit_sharded(
+        "ppo_island_ma_train_sharded", bench_sharded_ppo,
+        "fused_pallas+ppo+shard_map",
+    )
+
     for name, mk in (
         ("boat_race", lambda: BoatRace()),
         ("island_navigation", lambda: IslandNavigation()),
@@ -402,6 +431,132 @@ def _worker():
         lambda: bench_ppo_fused(BoatRace(), FusedBoatRace, tile=512),
         extra={"kernel": "fused_pallas+ppo"},
     )
+
+
+def bench_sharded_rollout(n_reps=N_REPS, n_steps=256, tile=128):
+    """The multi-chip composition on REAL silicon: firemaker's fused
+    pallas rollout inside ``shard_map`` over a TPU mesh spanning every
+    available chip (1x1 on this machine), with per-shard metrics psum'd —
+    asserting the sharded chunk is BIT-IDENTICAL to the unsharded kernel
+    on chip. Until r5 this composition had only ever executed on the
+    virtual CPU mesh (``__graft_entry__.dryrun_multichip``); Mosaic-under-
+    shard_map on hardware was the one untested link."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+    from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
+    from ai_safety_gridworlds_tpu.parallel.mesh import make_mesh, shard_map
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    fused = FusedFiremaker(FiremakerExMa())
+    B = BATCH
+    S = fused.init_packed(seed=0, batch=B)
+    statics = fused._statics_jnp()
+
+    state_specs = {k: P(None, "data") for k in S}
+    static_specs = {
+        k: (P(None, "data") if v.shape[1] != 1 else P())
+        for k, v in statics.items()
+    }
+    lane = NamedSharding(mesh, P(None, "data"))
+    S_sh = {k: jax.device_put(v, lane) for k, v in S.items()}
+    statics_sh = {
+        k: jax.device_put(v, NamedSharding(mesh, static_specs[k]))
+        for k, v in statics.items()
+    }
+
+    def body(S_local, statics_local):
+        out = fused.rollout(
+            S_local, n_steps, backend="pallas", tile=tile,
+            statics=statics_local,
+        )
+        return out, jax.lax.psum(jnp.sum(out["stats_rewards"]), "data")
+
+    run = jax.jit(
+        shard_map(
+            body, mesh=mesh,
+            in_specs=(state_specs, static_specs),
+            out_specs=(state_specs, P()),
+        )
+    )
+
+    # Bit-identity gate: one sharded chunk == one unsharded chunk, on chip.
+    ref = fused.rollout(dict(S), n_steps, backend="pallas", tile=tile)
+    out, rs = run(S_sh, statics_sh)
+    np.asarray(rs)
+    mismatched = [
+        k for k in ref
+        if not np.array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+    ]
+    if mismatched:
+        raise AssertionError(
+            f"sharded rollout diverged from unsharded on chip: {mismatched}"
+        )
+
+    # Timed reps (pipelined chunks, host-fetch sync — module docstring).
+    S_sh = out
+    t0 = time.perf_counter()
+    S_sh, rs = run(S_sh, statics_sh)
+    np.asarray(rs)
+    chunk_wall = max(time.perf_counter() - t0, 1e-9)
+    chunks = max(1, int(MIN_REP_WALL_S / chunk_wall) + 1)
+    rates = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            S_sh, rs = run(S_sh, statics_sh)
+        np.asarray(rs)
+        rates.append(chunks * n_steps * B / (time.perf_counter() - t0))
+    spread = _spread(rates)
+    spread_extra = {"bit_identical": True, "mesh": f"{n_dev}x1 tpu"}
+    return spread, spread_extra
+
+
+def bench_sharded_ppo(n_reps=N_REPS, tile=256):
+    """One data-parallel fused-PPO update per rep under shard_map on the
+    real TPU mesh (``learners/ppo_fused.make_sharded_train_step``)."""
+    from ai_safety_gridworlds_tpu.envs.island_navigation_ex_ma import (
+        IslandNavigationExMa,
+    )
+    from ai_safety_gridworlds_tpu.learners import ppo_fused
+    from ai_safety_gridworlds_tpu.ops.fused_island_ma import FusedIslandMa
+    from ai_safety_gridworlds_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    fused = FusedIslandMa(IslandNavigationExMa())
+    config = ppo_fused.FusedPPOConfig(n_steps=64, n_epochs=2,
+                                      n_minibatches=4)
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(0), batch_size=BATCH, config=config
+    )
+    train_step, shard_state = ppo_fused.make_sharded_train_step(
+        fused, mesh, config=config, tile=tile
+    )
+    state = shard_state(state)
+    state, metrics = train_step(state)  # compile + warm-up
+    np.asarray(jax.tree.leaves(metrics)[0])
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)).all(), f"sharded ppo metric {k}"
+
+    steps_per_update = config.n_steps * BATCH
+    t0 = time.perf_counter()
+    state, metrics = train_step(state)
+    np.asarray(jax.tree.leaves(metrics)[0])
+    chunk_wall = max(time.perf_counter() - t0, 1e-9)
+    chunks = max(1, int(MIN_REP_WALL_S / chunk_wall) + 1)
+    rates = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            state, metrics = train_step(state)
+        np.asarray(jax.tree.leaves(metrics)[0])
+        rates.append(
+            chunks * steps_per_update / (time.perf_counter() - t0)
+        )
+    return _spread(rates), {"mesh": f"{n_dev}x1 tpu"}
 
 
 def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS, tile=256):

@@ -1,15 +1,18 @@
-"""Two-process multi-host smoke test on a CPU Gloo backend.
+"""Multi-process multi-host smoke test on a CPU Gloo backend.
 
-Spawns two real OS processes (tests/multihost_worker.py), each with 4
-virtual CPU devices, joined into one 8-device global mesh via
-``jax.distributed`` — the same entry points that drive a multi-host TPU
-pod over DCN (``parallel/multihost.py``). Verifies:
+Spawns real OS processes (tests/multihost_worker.py) joined into one
+8-device global mesh via ``jax.distributed`` — the same entry points that
+drive a multi-host TPU pod over DCN (``parallel/multihost.py``) — at 1, 2,
+and 4 processes. Verifies:
 
 * the jitted sharded rollout (with cross-process all-reduce metric
-  reduction) runs to completion on both processes;
-* both processes compute byte-identical replicated global metrics;
+  reduction) runs to completion on every process;
+* all processes compute byte-identical replicated global metrics;
 * the host-sharded CSV sinks jointly cover every global batch lane exactly
-  once (host 0 writes lanes 0-7, host 1 writes 8-15).
+  once (each host writes its own contiguous lane block);
+* the MERGED sinks and global metrics are host-count-invariant: the 2- and
+  4-process runs reproduce the single-process result byte-for-byte (lanes
+  are keyed by global index, so distribution must not change anything).
 """
 
 import os
@@ -42,13 +45,16 @@ def _clean_env():
     return env
 
 
-@pytest.mark.parametrize("n", [2, 4])
-def test_multi_process_mesh(tmp_path, n):
+def _run_group(tmp_path, n):
+    """Run an n-process group; return (merged {lane: csv fields}, the
+    replicated global-metrics line shared by every host)."""
+    out_dir = tmp_path / f"n{n}"
+    out_dir.mkdir()
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(port), str(n), str(i),
-             str(tmp_path)],
+             str(out_dir)],
             env=_clean_env(),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -62,22 +68,22 @@ def test_multi_process_mesh(tmp_path, n):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multihost worker timed out")
+            pytest.fail(f"multihost worker timed out (n={n})")
         outs.append(out.decode())
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert p.returncode == 0, f"worker {i}/{n} failed:\n{out}"
         assert f"worker {i} ok" in out
 
     # Replicated global reductions agree byte-for-byte across hosts.
     globals_ = [
-        open(tmp_path / f"global_host{i}.txt").read() for i in range(n)
+        open(out_dir / f"global_host{i}.txt").read() for i in range(n)
     ]
     assert len(set(globals_)) == 1
 
     # The per-host CSV sinks partition the global lane space exactly.
     lanes = {}
     for i in range(n):
-        path = tmp_path / f"rollout_host{i}.csv"
+        path = out_dir / f"rollout_host{i}.csv"
         rows = open(path).read().strip().splitlines()
         assert rows[0] == "step;lane;episode_return;hidden_return;env_t"
         for row in rows[1:]:
@@ -90,3 +96,16 @@ def test_multi_process_mesh(tmp_path, n):
     local = 16 // n
     for k in range(16):
         assert lanes[k][0] == k // local, (k, lanes[k][0])
+    return {k: v[1] for k, v in lanes.items()}, globals_[0]
+
+
+def test_multi_process_mesh_merges_to_single_process(tmp_path):
+    merged = {n: _run_group(tmp_path, n) for n in (1, 2, 4)}
+    base_lanes, base_globals = merged[1]
+    for n in (2, 4):
+        lanes, globals_ = merged[n]
+        # Global all-reduced metrics (rollout sums, fused psum total,
+        # replicated PPO loss) reproduce the single-process run exactly.
+        assert globals_ == base_globals, f"n={n} global metrics diverged"
+        # Every per-lane CSV row merges to the single-process sink output.
+        assert lanes == base_lanes, f"n={n} merged CSV diverged"
