@@ -67,6 +67,9 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         self._episode_returns = np.zeros(
             (game.n_agents, game.reward_space.n_dims), np.float64
         )
+        self._episode_float_touched = np.zeros(
+            (game.n_agents, game.reward_space.n_dims), bool
+        )
         # Observable agent attributes (continuous modalities like firemaker's
         # expression dims); opt-in via set_observable_attribute_categories.
         self._observable_attribute_categories: list = list(
@@ -263,6 +266,9 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         self._episode_returns = np.zeros(
             (n, self._game.reward_space.n_dims), np.float64
         )
+        self._episode_float_touched = np.zeros(
+            (n, self._game.reward_space.n_dims), bool
+        )
         # Per-agent step types as a dict (``pycolab_interface_ma.py:161-171``).
         step_types = {a: StepType.FIRST for a in self._agent_names}
         return timestep._replace(step_type=step_types)
@@ -397,6 +403,15 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
         }
         rewards_arr = np.asarray(out.rewards, np.float64)
         self._episode_returns = self._episode_returns + rewards_arr
+        # Fractional provenance (per dim, per episode): once a dim's
+        # accumulation goes non-integer, the upstream writer's running
+        # Python sum is a float forever — even if later contributions
+        # cancel it back to exactly 0 ("0.0", not "0"). Value-based: a
+        # non-integer per-step sum is exactly the event that flips the
+        # upstream number to float type (``safety_game_mo.py:1218-1227``).
+        self._episode_float_touched = self._episode_float_touched | (
+            np.mod(rewards_arr, 1.0) != 0.0
+        )
         self._refresh_host_extras()
 
         reward = {
@@ -453,36 +468,68 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
             for k in self.enabled_agents_reward_dimensions[a]
         ]
 
-    def _reference_int_typed_dims(self):
-        """Per agent: which reward dims every contributing constant keeps
-        INTEGER-valued. The upstream writer accumulates plain Python
-        numbers from the mo_reward constants, so such dims (and their
-        sums) print as ints in its dict-repr cells; fractional constants
-        (e.g. savanna's 0.5 SMALL extraction rates) make the dim print as
-        floats. Cached; used only by reference_csv_format."""
-        cached = getattr(self, "_ref_int_dims_cache", None)
+    def _reference_runtime_float_dims(self):
+        """Per agent: which reward dims receive FLOAT-typed contributions
+        at runtime upstream, making any fired (nonzero) value a Python
+        float in the dict-repr cells. Two static sources: a non-int
+        constant value (e.g. a fractional flag override), and — under
+        ``use_satiation_proportional_reward`` — the four satiation score
+        constants, whose upstream contributions are ``score * satiation``
+        products with satiation always a float (absl ``DEFINE_float``
+        rates; ``island_navigation_ex_ma.py:344,595-596,805``)."""
+        cached = getattr(self, "_ref_float_dims_cache", None)
         if cached is not None:
             return cached
-        enabled_ma = getattr(self._game, "enabled_ma_rewards", None)
+        game = self._game
+        cfg = getattr(game, "cfg", {}) or {}
+        prop_dims = set()
+        if cfg.get("use_satiation_proportional_reward", False):
+            for const in (
+                # savanna naming / island_ex naming
+                "DRINK_DEFICIENCY_SCORE", "FOOD_DEFICIENCY_SCORE",
+                "DRINK_OVERSATIATION_SCORE", "FOOD_OVERSATIATION_SCORE",
+                "DRINK_DEFICIENCY_REWARD", "FOOD_DEFICIENCY_REWARD",
+                "DRINK_OVERSATIATION_REWARD", "FOOD_OVERSATIATION_REWARD",
+            ):
+                mo = cfg.get(const)
+                if mo is not None and hasattr(
+                    mo, "_reward_dimensions_dict"
+                ):
+                    prop_dims |= set(mo._reward_dimensions_dict)
+        enabled_ma = getattr(game, "enabled_ma_rewards", None)
         out = {}
         for a, keys in self.enabled_agents_reward_dimensions.items():
-            int_typed = {k: True for k in keys}
+            fl = {k: k in prop_dims for k in keys}
             for mo in (enabled_ma or {}).get(a, []):
                 for k, v in mo._reward_dimensions_dict.items():
-                    if k in int_typed and not isinstance(v, int):
-                        int_typed[k] = False
-            out[a] = [int_typed[k] for k in keys]
-        self._ref_int_dims_cache = out
+                    if k in fl and not isinstance(v, int):
+                        fl[k] = True
+            out[a] = [fl[k] for k in keys]
+        self._ref_float_dims_cache = out
         return out
 
     @staticmethod
-    def _reference_py_number(v, int_typed):
-        """float64 cell -> the Python number upstream would hold: int for
-        untouched (0) or integer-typed dims, float otherwise."""
+    def _reference_py_number(v, float_typed=False, float_touched=False):
+        """float64 cell -> the Python number upstream would hold. The
+        upstream writer accumulates plain Python numbers, so a dim is a
+        float exactly when a float contribution has joined its sum;
+        observable as: the value is currently non-integer, OR the dim is
+        statically float-typed (``_reference_runtime_float_dims``) and
+        fired (nonzero — upstream proportional contributions are strictly
+        nonzero), OR the per-episode fractional-provenance bit
+        ``float_touched`` is set (the running sum went non-integer at
+        some earlier step — it stays a Python float even when later
+        contributions cancel it back to exactly 0: "0.0", not "0";
+        ``safety_game_mo.py:1218-1227``). Residual ambiguity (PARITY.md):
+        integral-valued float contributions to a dim with otherwise
+        int-typed constants are indistinguishable from int contributions
+        by value; no shipped env produces them."""
         f = float(v)
-        if f == 0 or (int_typed and f.is_integer()):
-            return int(f)
-        return f
+        if float_touched or not f.is_integer():
+            return f
+        if float_typed and f != 0:
+            return f
+        return int(f)
 
     def _reference_metrics_keys(self):
         """Metric columns as the upstream writer would freeze them at
@@ -631,23 +678,26 @@ class SafetyEnvironmentMoMa(SafetyEnvironmentMo):
                 a for a in self._agent_names
                 if step_types is None or int(step_types[a]) != dead
             ]
-            int_dims = self._reference_int_typed_dims()
             conv = self._reference_py_number
+            float_dims = self._reference_runtime_float_dims()
             reward_dims_f = {
                 a: [
-                    conv(v, t)
-                    for v, t in zip(per_agent_reward[a], int_dims[a])
+                    conv(v, float_typed=ft)
+                    for v, ft in zip(per_agent_reward[a], float_dims[a])
                 ]
                 for a in alive
             }
             cum_dims = {
                 a: [
-                    conv(v, t)
-                    for v, t in zip(
+                    conv(v, float_typed=ft, float_touched=bool(tc))
+                    for v, ft, tc in zip(
                         self._agent_reward_vector(
                             self._episode_returns[i], a
                         ),
-                        int_dims[a],
+                        float_dims[a],
+                        self._agent_reward_vector(
+                            self._episode_float_touched[i], a
+                        ),
                     )
                 ]
                 for i, a in enumerate(self._agent_names)

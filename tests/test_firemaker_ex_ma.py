@@ -19,7 +19,8 @@ from ai_safety_gridworlds_tpu.ma.safety_game_moma import SafetyEnvironmentMoMa
 from ai_safety_gridworlds_tpu.mo.safety_game_mo import reset_class_statics
 
 
-def make_pair(**kwargs):
+def make_pair(wrapper_kwargs=None, ref_overrides=None, our_overrides=None,
+              **kwargs):
     if not conftest.reference_available():
         pytest.skip("reference not mounted")
     conftest.add_reference_to_path()
@@ -79,8 +80,17 @@ def make_pair(**kwargs):
         flags_obj.randomize_agent_actions_order = ref_kwargs.pop(
             "randomize_agent_actions_order"
         )
-    ref = RefFiremaker(FLAGS=flags_obj, **ref_kwargs)
-    ours = SafetyEnvironmentMoMa(FiremakerExMa(**kwargs))
+    wrapper_kwargs = dict(wrapper_kwargs or {})
+    ref_wrapper_kwargs = {
+        k: v for k, v in wrapper_kwargs.items()
+        if k != "reference_csv_format"
+    }
+    ref_wrapper_kwargs.update(ref_overrides or {})
+    our_wrapper_kwargs = dict(wrapper_kwargs, **(our_overrides or {}))
+    ref = RefFiremaker(FLAGS=flags_obj, **ref_kwargs, **ref_wrapper_kwargs)
+    ours = SafetyEnvironmentMoMa(
+        FiremakerExMa(**kwargs), **our_wrapper_kwargs
+    )
     return ref, ours
 
 

@@ -308,6 +308,76 @@ def test_fused_ppo_learns_island_ma():
     assert r1 > -10.0, r1
 
 
+def test_fused_ppo_learns_firemaker():
+    """200 CPU-sized fused-PPO updates on firemaker_ex_ma (the r4/r5
+    bench headline env) must lift mean evaluated episode return far above
+    the random-init policy (measured: -28.0 -> +37.6; gate at +40
+    improvement and a positive final policy). Episodes bounded at 50
+    steps so the 128-step evaluation finishes >2 per lane — firemaker
+    episodes otherwise only end at max_iterations. Reward structure per
+    ``firemaker_ex_ma.py:772-801`` (workshop work vs fire/trespassing
+    penalties)."""
+    from ai_safety_gridworlds_tpu.envs.firemaker_ex_ma import FiremakerExMa
+    from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
+
+    fused = FusedFiremaker(FiremakerExMa(max_iterations=50))
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=32, n_epochs=2, n_minibatches=2, hidden=32, lr=1e-3
+    )
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(0), batch_size=64, seed=3, config=config
+    )
+    train = ppo_fused.make_train_step(fused, config, backend="xla")
+    ev0 = ppo_fused.evaluate(
+        fused, state.params, n_steps=128, batch=64, seed=9, backend="xla"
+    )
+    for _ in range(200):
+        state, metrics = train(state)
+    assert np.isfinite(float(metrics["mean_reward"]))
+    ev1 = ppo_fused.evaluate(
+        fused, state.params, n_steps=128, batch=64, seed=9, backend="xla"
+    )
+    r0 = float(ev0["mean_episode_return"])
+    r1 = float(ev1["mean_episode_return"])
+    assert int(ev0["episodes"]) > 100 and int(ev1["episodes"]) > 100
+    assert r1 - r0 > 40.0, (r0, r1)
+    assert r1 > 0.0, r1
+
+
+def test_fused_ppo_learns_savanna():
+    """60 CPU-sized fused-PPO updates on aintelope_savanna must lift mean
+    evaluated episode return (measured: -32.6 -> -2.4; gate at +15
+    improvement) — the policy learns foraging/predator avoidance per the
+    "score" reward flags (``aintelope_savanna.py:481-497``)."""
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+    from ai_safety_gridworlds_tpu.ops.fused_savanna import FusedSavanna
+
+    fused = FusedSavanna(AIntelopeSavanna(max_iterations=50))
+    config = ppo_fused.FusedPPOConfig(
+        n_steps=32, n_epochs=2, n_minibatches=2, hidden=32, lr=1e-3
+    )
+    state = ppo_fused.init_train_state(
+        fused, jax.random.PRNGKey(0), batch_size=64, seed=3, config=config
+    )
+    train = ppo_fused.make_train_step(fused, config, backend="xla")
+    ev0 = ppo_fused.evaluate(
+        fused, state.params, n_steps=128, batch=64, seed=9, backend="xla"
+    )
+    for _ in range(60):
+        state, metrics = train(state)
+    assert np.isfinite(float(metrics["mean_reward"]))
+    ev1 = ppo_fused.evaluate(
+        fused, state.params, n_steps=128, batch=64, seed=9, backend="xla"
+    )
+    r0 = float(ev0["mean_episode_return"])
+    r1 = float(ev1["mean_episode_return"])
+    assert int(ev0["episodes"]) > 50 and int(ev1["episodes"]) > 50
+    assert r1 - r0 > 15.0, (r0, r1)
+    assert r1 > -15.0, r1
+
+
 def test_generic_ppo_learns_island_navigation():
     """40 generic-learner updates on scalar island_navigation must lift
     sampled-policy mean episode return (measured: -2.9 -> +39; gate at

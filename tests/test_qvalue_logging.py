@@ -141,6 +141,92 @@ def test_format_float_matches_reference_decimal_semantics():
         ), v
 
 
+def test_reference_py_number_fractional_provenance():
+    """The upstream MoMa writer accumulates plain Python numbers, so a dim
+    that ever received a fractional contribution stays a FLOAT even when
+    later steps cancel it back to exactly 0 ("0.0", not "0").
+    ``_reference_py_number`` + the per-episode ``_episode_float_touched``
+    bit must reproduce that typing. Differential: random per-step
+    contribution sequences accumulated two ways — as Python numbers (the
+    upstream semantics) and as f64 + provenance bit (ours) — must repr
+    identically at every prefix.
+
+    Residual (documented in PARITY.md): contributions that cancel to an
+    integer WITHIN one step lose their float provenance before the shell
+    sees the per-step sum; no shipped env has opposite-signed fractional
+    constants on one dim, so the case is unreachable without adversarial
+    flag overrides."""
+    from ai_safety_gridworlds_tpu.ma.safety_game_moma import (
+        SafetyEnvironmentMoMa,
+    )
+
+    conv = SafetyEnvironmentMoMa._reference_py_number
+    rng = np.random.RandomState(7)
+    pool = [1, -1, 2, 5, -3, 0.5, -0.5, 2.5, -2.5, 0.25, -0.25]
+    for _ in range(300):
+        n_steps = rng.randint(1, 12)
+        # One contribution per step (per-step sums can't cancel
+        # intra-step, matching the shipped envs' reward structures).
+        seq = [pool[rng.randint(len(pool))] for _ in range(n_steps)]
+
+        py_sum = 0  # upstream: starts as int, float contributions poison
+        f64_sum = np.float64(0.0)
+        touched = False
+        for c in seq:
+            py_sum = py_sum + c
+            step_value = np.float64(c)  # per-step sum (one contribution)
+            f64_sum = f64_sum + step_value
+            # The shell's rule (safety_game_moma.step): flag when the
+            # per-step sum is non-integer.
+            touched = touched or (float(np.mod(step_value, 1.0)) != 0.0)
+            ours = conv(f64_sum, float_touched=touched)
+            assert repr(ours) == repr(py_sum), (seq, c, ours, py_sum)
+
+    # The exact VERDICT corner: +0.5 then -0.5 cancels to float 0.0.
+    assert repr(conv(np.float64(0.0), float_touched=True)) == "0.0"
+    assert repr(conv(np.float64(0.0), float_touched=False)) == "0"
+
+
+def test_episode_float_touched_bookkeeping(tmp_path):
+    """The shell flips the provenance bit exactly when a dim's per-step
+    sum goes non-integer, and clears it on reset."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna,
+    )
+    from ai_safety_gridworlds_tpu.ma.safety_game_moma import (
+        SafetyEnvironmentMoMa,
+    )
+
+    env = SafetyEnvironmentMoMa(
+        AIntelopeSavanna(
+            amount_agents=1, level=13, amount_small_drink_holes=1,
+            max_iterations=20,
+        )
+    )
+    env.reset()
+    assert not env._episode_float_touched.any()
+    rng = np.random.RandomState(3)
+    saw_touch = False
+    for _ in range(3):
+        for _ in range(20):
+            ts = env.step({a: int(rng.randint(0, 5))
+                           for a in env.agent_names})
+            frac = np.mod(env._episode_returns, 1.0) != 0.0
+            # Any currently-fractional cumulative must be flagged.
+            assert (env._episode_float_touched | ~frac).all()
+            saw_touch = saw_touch or env._episode_float_touched.any()
+            types = ts.step_type
+            if all(int(t) != 2 for t in types.values()):
+                continue
+        env.reset()
+        assert not env._episode_float_touched.any()
+
+
 def test_gini_coefficient_matches_reference():
     import numpy as np
     import pytest
@@ -179,6 +265,14 @@ def test_gini_coefficient_matches_reference():
         # Different init-metric ordering (sprite-ctor visit metrics) and
         # richer per-agent dims.
         ("island", dict(level=3)),
+        # Quirkiest per-agent column set: heterogeneous worker/supervisor
+        # reward dims and expression/visit metrics.
+        ("firemaker", dict()),
+        # Satiation-proportional rewards: float products flow through the
+        # dict-repr cells, exercising the runtime fractional-provenance
+        # bit against the upstream Python-number accumulation.
+        ("island", dict(level=3, use_satiation_proportional_reward=True,
+                        penalise_oversatiation=True)),
     ],
 )
 def test_moma_reference_csv_format_byte_differential(
@@ -243,6 +337,8 @@ def test_moma_reference_csv_format_byte_differential(
     )
     if family == "island":
         t = importlib.import_module("test_island_navigation_ex_ma")
+    elif family == "firemaker":
+        t = importlib.import_module("test_firemaker_ex_ma")
     ref, ours = t.make_pair(
         wrapper_kwargs=wrapper_kwargs,
         ref_overrides=dict(log_dir=str(ref_dir)),
