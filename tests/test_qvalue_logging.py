@@ -295,6 +295,10 @@ def test_moma_reference_csv_format_byte_differential(
 
         pytest.skip("reference not mounted")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # Reference CSV state is per-CLASS: an identical-flags env built by an
+    # earlier test leaves create_new_log_file=False and a handle into that
+    # test's tmp dir, so this run would write no CSV under ref_dir.
+    conftest.scrub_reference_log_state()
     t = importlib.import_module("test_aintelope_savanna")
 
     from ai_safety_gridworlds_tpu.mo.safety_game_mo import (
