@@ -29,13 +29,22 @@ supported; the relative direction modes (reference defaults,
 
 Map randomization: per-lane maps are drawn at ``init_packed`` with the
 env's device-side interior shuffle (``map_randomization_frequency`` ≥ 1),
-so the 4096-lane batch covers 4096 independent layouts. In-kernel
-auto-reset restores each lane's OWN initial map rather than drawing a
-fresh one (fresh per-episode draws would need an in-kernel
-without-replacement sort); across the batch the layout distribution is
-unchanged, within a lane episodes repeat their layout until the host
-re-randomizes between rollout chunks. The per-env path keeps exact
-per-episode randomization; equivalence of everything else is asserted by
+so the 4096-lane batch covers 4096 independent layouts. With
+``map_randomization_frequency >= 3`` (the reference default,
+``aintelope_savanna.py:65``) the in-kernel auto-reset additionally
+redraws each lane's map EVERY episode (``exact_reset``): one PRF word
+per cell ranks the interior with distinct integer scores, and the T
+smallest cells host the episode's T-tile multiset in a fixed type order
+— ranks of iid distinct scores form a uniform permutation, so the
+per-episode layout process is the reference's interior shuffle
+(``safety_game_mo_base.py:918-1134``) exactly in distribution (the PRF
+stream is not draw-for-draw with numpy, PARITY.md). The combined
+code/water-distance board, wall mask, agent starts, and predator/resource
+curtains are rebuilt in-kernel from the extracted cells (water distances
+as a min over the drawn water tiles). ``init_packed(exact_reset=False)``
+or ``layout_pool=K`` opt out (restore-initial-layout / K-cycle modes for
+configs that randomize less often than per-episode, or for speed).
+Equivalence of everything else is asserted by
 ``tests/test_fused_savanna.py`` by injecting this kernel's draws into
 ``engine_substep`` (which is itself lockstep-tested against
 ``/root/reference/ai_safety_gridworlds/environments/aintelope/aintelope_savanna.py``).
@@ -269,21 +278,95 @@ class FusedSavanna(FusedMaBase):
             "drink": 5, "food": 6, "small_drink": 7, "small_food": 8,
         }
 
+        # --- exact per-episode map re-randomization ----------------------
+        # Static placement multiset for the in-kernel redraw (module
+        # docstring): the trimmed base board's interior tiles in a fixed
+        # type order, plus the art-vs-flag top-up deficits (joint uniform
+        # placement of the extended multiset == place the base multiset,
+        # then spawn deficits onto remaining free cells — the batched
+        # GAP-only top-up rule). Walls go last so the earlier extractions
+        # carry the position-bearing tiles.
+        from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+            DANGER_TILE_CHR, DRINK_CHR, FOOD_CHR, GOLD_CHR,
+            PREDATOR_NPC_CHR, SILVER_CHR, SMALL_DRINK_CHR, SMALL_FOOD_CHR,
+        )
+
+        interior_b = base_b[1:-1, 1:-1]
+        topup = {}
+        for chr_, deficit in getattr(env, "_reset_topup", ()):
+            topup[chr_] = topup.get(chr_, 0) + int(deficit)
+
+        def icnt(ch):
+            return int((interior_b == ord(ch)).sum())
+
+        spec = []
+        self._exact_ok = True
+        self._exact_why = ""
+        for j, c in enumerate(env.agent_chars):
+            if icnt(c) != 1:
+                self._exact_ok = False
+                self._exact_why = f"agent {c!r} not in the board interior"
+            spec.append(("agent", j))
+        spec += [("predator", None)] * icnt(PREDATOR_NPC_CHR)
+        spec += [("water", None)] * icnt(DANGER_TILE_CHR)
+        spec += [("gold", None)] * icnt(GOLD_CHR)
+        spec += [("silver", None)] * icnt(SILVER_CHR)
+        for name, ch in (
+            ("drink", DRINK_CHR), ("food", FOOD_CHR),
+            ("small_drink", SMALL_DRINK_CHR), ("small_food", SMALL_FOOD_CHR),
+        ):
+            spec += [(name, None)] * (icnt(ch) + topup.get(ch, 0))
+        spec += [("wall", None)] * icnt(_WALL)
+        self._placement_spec = tuple(spec)
+        known = {
+            ord(ch) for ch in (
+                _GAP, _WALL, PREDATOR_NPC_CHR, DANGER_TILE_CHR, GOLD_CHR,
+                SILVER_CHR, DRINK_CHR, FOOD_CHR, SMALL_DRINK_CHR,
+                SMALL_FOOD_CHR,
+            )
+        } | {ord(c) for c in env.agent_chars}
+        if not set(np.unique(interior_b)) <= known:
+            self._exact_ok = False
+            self._exact_why = "board interior has unsupported tile chars"
+        # Distinct integer scores: rank bits << idx bits | cell index.
+        self._idx_bits = max(9, int(self.HW - 1).bit_length())
+        self.redraw_site = 2 + self.n * self.sites_per_slot
+        self.exact_reset = False  # set per init_packed
+        if self._exact_ok:
+            cells2 = np.arange(self.HW)
+            rr2, cc2 = cells2 // w, cells2 % w
+            interior_m = (
+                (rr2 >= 1) & (rr2 <= h - 2) & (cc2 >= 1) & (cc2 <= w - 2)
+            )
+            self.consts["interior"] = interior_m.astype(np.float32).reshape(
+                -1, 1
+            )
+            self.consts["border_wall"] = (~interior_m).astype(
+                np.float32
+            ).reshape(-1, 1)
+
     # ------------------------------------------------------------- packing
 
-    def init_packed(self, seed: int, batch: int, layout_pool: int = 1) -> dict:
+    def init_packed(self, seed: int, batch: int, layout_pool: int = 1,
+                    exact_reset=None) -> dict:
         """Draw randomized maps per lane and pack everything into the
         [rows, B] layout. Maps are drawn on the HOST (numpy) — the same
         count-enforced interior shuffle as ``sample_reset_options``, but
         without paying a device compile for the one-off setup.
 
-        ``layout_pool=K > 1`` draws K independent layouts per lane and the
-        in-kernel auto-reset cycles through them per episode
-        (``ep_idx % K``) — approximating the reference's
-        ``map_randomization_frequency=3`` fresh-map-per-episode semantics
-        without an in-kernel shuffle: each layout in the pool is an
-        independent draw, so the per-episode layout distribution matches;
-        layouts repeat only with period K within a lane."""
+        ``exact_reset`` selects the in-kernel per-episode redraw (module
+        docstring): the auto-reset draws a FRESH uniformly-shuffled map
+        from the kernel PRF every episode, matching the reference's
+        ``map_randomization_frequency=3`` process. Default: on whenever
+        the config randomizes per episode (``frequency >= 3``) and
+        ``layout_pool == 1``.
+
+        ``layout_pool=K > 1`` instead draws K independent layouts per
+        lane and the in-kernel auto-reset cycles through them per episode
+        (``ep_idx % K``) — a cheaper approximation: each layout in the
+        pool is an independent draw, so the per-episode layout
+        distribution matches; layouts repeat with period K within a
+        lane."""
         env = self.env
         n, HW, w = self.n, self.HW, self.w
         K = int(layout_pool)
@@ -293,6 +376,26 @@ class FusedSavanna(FusedMaBase):
             raise ValueError(
                 "layout_pool > 1 requires map_randomization_frequency >= 1"
             )
+        if exact_reset is None:
+            exact_reset = (
+                K == 1 and self._exact_ok
+                and env.cfg["map_randomization_frequency"] >= 3
+            )
+        elif exact_reset:
+            if K > 1:
+                raise ValueError(
+                    "exact_reset and layout_pool are mutually exclusive"
+                )
+            if not self._exact_ok:
+                raise ValueError(
+                    f"exact_reset unsupported here: {self._exact_why}"
+                )
+        self.exact_reset = bool(exact_reset)
+        # The redraw consumes one extra PRF site per step; site numbering
+        # (and therefore every stream) is unchanged when the mode is off.
+        self.n_sites = (
+            2 + self.n * self.sites_per_slot + (1 if self.exact_reset else 0)
+        )
         keys = prng.derive_keys(seed, batch)
         base = np.asarray(env._base_board, np.uint8).copy()
         from ai_safety_gridworlds_tpu.envs.aintelope_savanna import GAP_CHR
@@ -383,11 +486,23 @@ class FusedSavanna(FusedMaBase):
                     (1, batch), spec["amount"], _F32
                 )
         fields = tuple(
-            f for f in self.STATE_FIELDS if f != "ep_idx"
+            f for f in self.STATE_FIELDS
+            if f not in ("ep_idx", "wall", "sboard")
         )
         if K > 1:
             state["ep_idx"] = jnp.zeros((1, batch), _I32)
             fields = fields + ("ep_idx",)
+        if self.exact_reset:
+            # The per-episode redraw makes the layout itself per-lane
+            # STATE; the reset-only kernel statics drop out (usable_half
+            # stays — wall counts are shuffle-invariant).
+            state["wall"] = jnp.asarray(statics["wall"])
+            state["sboard"] = jnp.asarray(kstatics["sboard"])
+            fields = fields + ("wall", "sboard")
+            for k in ("wall", "sboard", "pos0", "predator0"):
+                kstatics.pop(k, None)
+            for spec in self.res_specs:
+                kstatics.pop("res0_" + spec["name"], None)
         self.STATE_FIELDS = fields
         self._statics_np = statics
         self._kstatics_np = kstatics
@@ -497,6 +612,78 @@ class FusedSavanna(FusedMaBase):
             )
         return feats
 
+    def _redraw_layout(self, key_hi, key_lo, ctr0, iota_hw, consts):
+        """Draw one fresh uniformly-shuffled map per lane from the PRF.
+
+        One hash word per cell; distinct integer scores (rank bits over
+        the embedded cell index, the sustain-phase construction) rank the
+        interior, and the T placement-spec tiles take the T smallest
+        cells in fixed type order — a uniform permutation, i.e. the
+        reference interior shuffle (``safety_game_mo_base.py:918-1134``)
+        in distribution. Returns the rebuilt kernel boards: wall mask,
+        combined code/water-distance board, agent starts, predator
+        curtain, and (sustain) fresh resource curtains. Cost: ~4 board
+        ops per placed tile per step — the headline config places 3
+        tiles."""
+        n, W, HW = self.n, self.w, self.HW
+        ib = self._idx_bits
+        bits = prng.hash_u32(
+            key_hi, key_lo, ctr0 + np.uint32(self.redraw_site), iota_hw
+        )
+        base = (
+            ((bits >> np.uint32(ib + 3)) << np.uint32(ib))
+            | jnp.asarray(iota_hw, jnp.uint32)
+        ).astype(_I32)
+        SENT = np.int32(1 << 30)
+        masked = jnp.where(consts["interior"] > 0.5, base, SENT)
+        shape = masked.shape
+        idx_mask = np.int32((1 << ib) - 1)
+        cell_row, cell_col = consts["cell_row"], consts["cell_col"]
+
+        code = jnp.zeros(shape, _F32)
+        wall_new = jnp.broadcast_to(consts["border_wall"], shape)
+        pred_new = jnp.zeros(shape, _F32)
+        res_names = (
+            {spec["name"] for spec in self.res_specs} if self.sustain
+            else set()
+        )
+        res_new = {name: jnp.zeros(shape, _F32) for name in res_names}
+        pos_rows = [None] * n
+        dist = None  # int32 min-Manhattan to the drawn water tiles
+        codes = self.tile_codes
+        for kind, info in self._placement_spec:
+            minv = jnp.min(masked, axis=0, keepdims=True)  # [1, B]
+            picked = masked == minv  # exactly one cell (distinct scores)
+            masked = jnp.where(picked, SENT, masked)
+            pf = picked.astype(_F32)
+            if kind == "agent":
+                pos_rows[info] = minv & idx_mask
+            elif kind == "predator":
+                pred_new = pred_new + pf
+            elif kind == "wall":
+                wall_new = wall_new + pf
+            elif kind == "water":
+                code = code + float(codes["water"]) * pf
+                flat = minv & idx_mask
+                r, c = flat // W, flat % W
+                d = jnp.abs(cell_row - r) + jnp.abs(cell_col - c)
+                dist = d if dist is None else jnp.minimum(dist, d)
+            elif kind in res_names:  # sustain: dynamic curtain state
+                res_new[kind] = res_new[kind] + pf
+            else:  # gold / silver / static resource codes
+                code = code + float(codes[kind]) * pf
+        if dist is None:
+            dist_f = _F32(16.0 * 99.0)
+        else:
+            dist_f = 16.0 * jnp.where(dist > 98, 99, dist).astype(_F32)
+        return {
+            "wall": wall_new,
+            "sboard": code + dist_f,
+            "pos0": jnp.concatenate(pos_rows, axis=0),
+            "predator0": pred_new,
+            "res": res_new,
+        }
+
     def _step(self, S, statics, consts, collect_draws: bool = False):
         """One full MA step on packed arrays (pure jnp; XLA or pallas)."""
         env, cfg = self.env, self.cfg
@@ -513,14 +700,27 @@ class FusedSavanna(FusedMaBase):
             (types == LAST) | (types == DEAD), axis=0, keepdims=True
         )
 
-        # Layout pool: each lane's per-episode layout comes from a K-way
-        # select over the pooled statics (``ep_idx % K``).
-        pooled, ep_idx = self._pool_select(statics, over, S)
+        ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
+        if self.exact_reset:
+            # Per-episode redraw: fresh uniformly-shuffled map per reset
+            # lane; the layout boards are state, not statics.
+            ep_idx = None
+            fresh = self._redraw_layout(key_hi, key_lo, ctr0, iota_hw,
+                                        consts)
+            wall_f = jnp.where(over, fresh["wall"], S["wall"])
+            sboard = jnp.where(over, fresh["sboard"], S["sboard"])
+            pos0, predator0 = fresh["pos0"], fresh["predator0"]
 
-        wall_f = pooled("wall")
-        sboard = pooled("sboard")
-        pos0 = pooled("pos0").astype(_I32)
-        predator0 = pooled("predator0")
+            def pooled(base_key):  # only usable_half remains static
+                return statics[base_key]
+        else:
+            # Layout pool: each lane's per-episode layout comes from a
+            # K-way select over the pooled statics (``ep_idx % K``).
+            pooled, ep_idx = self._pool_select(statics, over, S)
+            wall_f = pooled("wall")
+            sboard = pooled("sboard")
+            pos0 = pooled("pos0").astype(_I32)
+            predator0 = pooled("predator0")
 
         pos = jnp.where(over, pos0, S["pos"])
         # f32-valued select: Mosaic rejects multi-row i1-valued select_n
@@ -542,14 +742,15 @@ class FusedSavanna(FusedMaBase):
         if self.sustain:
             for spec in self.res_specs:
                 name = spec["name"]
-                res[name] = jnp.where(
-                    over, pooled("res0_" + name), S["res_" + name]
+                res0 = (
+                    fresh["res"][name] if self.exact_reset
+                    else pooled("res0_" + name)
                 )
+                res[name] = jnp.where(over, res0, S["res_" + name])
                 avail[name] = jnp.where(
                     over, _F32(spec["amount"]), S["avail_" + name]
                 )
 
-        ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         feats = None
         if "pol_w" in statics or "mlp_w1" in statics:
             feats = self._policy_feats(
@@ -1109,6 +1310,9 @@ class FusedSavanna(FusedMaBase):
             out["avail_" + name] = avail[name]
         if ep_idx is not None:
             out["ep_idx"] = ep_idx
+        if self.exact_reset:
+            out["wall"] = wall_f
+            out["sboard"] = sboard
         if collect_draws:
             return out, {
                 "order": order,
@@ -1149,11 +1353,24 @@ class FusedSavanna(FusedMaBase):
             st = self._statics_np_pool[
                 int(np.asarray(S["ep_idx"][0, lane])) % self.layout_pool
             ]
+        if self.exact_reset and "sboard" in S:
+            # Per-episode redraw: the layout lives in state — decode the
+            # combined code/distance board back into the host mask set.
+            code = np.asarray(S["sboard"][:, lane]) % 16.0
+            st = dict(st)
+            st["wall"] = np.asarray(S["wall"][:, lane]).reshape(-1, 1)
+            for name, cid in self.tile_codes.items():
+                if name in ("gap", "wall"):
+                    continue
+                st[name] = (code == float(cid)).astype(
+                    np.float32
+                ).reshape(-1, 1)
 
         def grid2d(field):
-            return jnp.asarray(
-                np.asarray(field[:, lane]).reshape(h, w) > 0.5
-            )
+            f = np.asarray(field)
+            # Decoded exact-reset fields carry the one requested lane.
+            col = f[:, 0] if f.shape[1] == 1 else f[:, lane]
+            return jnp.asarray(col.reshape(h, w) > 0.5)
 
         pos_flat = np.asarray(S["pos"][:, lane])
         cfg = self.cfg

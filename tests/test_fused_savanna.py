@@ -374,3 +374,154 @@ def test_fused_art_flag_topup_refuses_overfull_board():
     fused = FusedSavanna(env)
     with pytest.raises(ValueError, match="top up"):
         fused.init_packed(seed=1, batch=4)
+
+
+# --------------------------------------------------------------------------
+# Exact per-episode map re-randomization (in-kernel redraw).
+# Retires the PARITY.md "auto-reset restores the initial layout" deviation:
+# with map_randomization_frequency >= 3 (the reference default) the
+# auto-reset draws a FRESH uniformly-shuffled interior per episode, like
+# the reference's sample_reset_options shuffle
+# (reference safety_game_mo_base.py:918-1134, aintelope_savanna.py:65).
+# --------------------------------------------------------------------------
+
+
+def test_exact_reset_mode_selection():
+    """Defaults on at frequency >= 3 with no pool; off otherwise; loud on
+    contradictory requests."""
+    fused = FusedSavanna(AIntelopeSavanna())
+    fused.init_packed(seed=1, batch=4)
+    assert fused.exact_reset
+
+    low_freq = FusedSavanna(AIntelopeSavanna(map_randomization_frequency=2))
+    low_freq.init_packed(seed=1, batch=4)
+    assert not low_freq.exact_reset
+
+    pooled = FusedSavanna(AIntelopeSavanna())
+    pooled.init_packed(seed=1, batch=4, layout_pool=2)
+    assert not pooled.exact_reset
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        FusedSavanna(AIntelopeSavanna()).init_packed(
+            seed=1, batch=4, layout_pool=2, exact_reset=True
+        )
+
+    opt_out = FusedSavanna(AIntelopeSavanna())
+    opt_out.init_packed(seed=1, batch=4, exact_reset=False)
+    assert not opt_out.exact_reset
+
+
+def _lane_tile_counts(fused, sboard, wall):
+    """Per-lane tile counts decoded from the packed code/distance board."""
+    code = np.asarray(sboard) % 16.0
+    counts = {"wall": np.asarray(wall).sum(axis=0)}
+    for name, cid in fused.tile_codes.items():
+        if name in ("gap", "wall"):
+            continue
+        counts[name] = (code == float(cid)).sum(axis=0)
+    return counts
+
+
+def test_exact_reset_redraws_fresh_layout_each_episode():
+    """Across in-kernel resets the layout CHANGES (not restored) while the
+    count-enforced tile multiset is preserved per lane."""
+    env = AIntelopeSavanna(**dict(RICH_KW, max_iterations=4))
+    fused = FusedSavanna(env)
+    B = 32
+    S = fused.init_packed(seed=41, batch=B)
+    assert fused.exact_reset
+    sb0 = np.asarray(S["sboard"]).copy()
+    wall0 = np.asarray(S["wall"]).copy()
+    counts0 = _lane_tile_counts(fused, sb0, wall0)
+    S = fused.rollout(S, 40, backend="xla")
+    assert np.asarray(S["stats_episodes"]).min() >= 2
+    counts1 = _lane_tile_counts(fused, S["sboard"], S["wall"])
+    for name in counts0:
+        np.testing.assert_array_equal(counts1[name], counts0[name], name)
+    # Fresh draws: essentially every lane's layout moved off its initial
+    # one (a coincidental identical redraw is possible but vanishing).
+    same = (np.asarray(S["sboard"]) == sb0).all(axis=0)
+    assert same.sum() == 0, f"{same.sum()} lanes restored their layout"
+    # Border walls never move.
+    border = np.asarray(fused.consts["border_wall"]) > 0.5
+    assert (np.asarray(S["wall"])[border[:, 0]] == 1.0).all()
+
+
+def test_fused_step_matches_per_env_exact_reset():
+    """Chain equivalence ACROSS in-kernel redraws: each step re-unpacks
+    the per-env states from the kernel (including the freshly drawn
+    layout) and the physics stays in lockstep on the new map."""
+    _run_equivalence(
+        AIntelopeSavanna(**dict(RICH_KW, max_iterations=5)),
+        seed=43, steps=12,
+    )
+
+
+def test_xla_pallas_bit_identity_exact_reset():
+    env = AIntelopeSavanna(**dict(RICH_KW, max_iterations=6))
+    fused = FusedSavanna(env)
+    S0 = fused.init_packed(seed=47, batch=64)
+    assert fused.exact_reset
+    Sx = fused.rollout(dict(S0), 20, backend="xla")
+    Sp = fused.rollout(
+        dict(S0), 20, backend="pallas", tile=32, interpret=True
+    )
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    assert np.asarray(Sx["stats_episodes"]).max() >= 2
+
+
+def test_xla_pallas_bit_identity_exact_reset_sustainability():
+    """Redraw + dynamic resource curtains compose: fresh res curtains on
+    reset come from the same redraw and stay bit-identical across
+    backends."""
+    env = AIntelopeSavanna(**dict(SUSTAIN_KW, max_iterations=6))
+    fused = FusedSavanna(env)
+    S0 = fused.init_packed(seed=53, batch=32)
+    assert fused.exact_reset
+    Sx = fused.rollout(dict(S0), 16, backend="xla")
+    Sp = fused.rollout(
+        dict(S0), 16, backend="pallas", tile=16, interpret=True
+    )
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    assert np.asarray(Sx["stats_episodes"]).max() >= 1
+
+
+def _chi2_quantile(df, p_sigma=3.09):
+    """Wilson-Hilferty approximation of the chi-square upper quantile
+    (p_sigma=3.09 ~ the 0.999 quantile) — scipy-free."""
+    t = 1.0 - 2.0 / (9.0 * df) + p_sigma * np.sqrt(2.0 / (9.0 * df))
+    return df * t**3
+
+
+def test_exact_reset_agent_start_is_uniform_over_interior():
+    """Statistical gate for the redraw distribution: the agent's
+    post-reset start cell is uniform over the board interior — the
+    defining property of the reference's interior shuffle (ranks of iid
+    distinct PRF scores form a uniform permutation). Chi-square at the
+    0.999 quantile on ~3k in-kernel resets; fixed seed, deterministic."""
+    env = AIntelopeSavanna(max_iterations=3)  # default: 1 agent
+    fused = FusedSavanna(env)
+    B = 256
+    S = fused.init_packed(seed=59, batch=B)
+    assert fused.exact_reset
+    interior = np.asarray(fused.consts["interior"])[:, 0] > 0.5
+    n_int = int(interior.sum())
+    counts = np.zeros(fused.HW, np.int64)
+    first = int(StepType.FIRST)
+    for _ in range(60):
+        S = fused.step_xla(S)
+        is_first = np.asarray(S["step_types"])[0] == first
+        if is_first.any():
+            np.add.at(counts, np.asarray(S["pos"])[0][is_first], 1)
+    n_resets = counts.sum()
+    assert n_resets > 1500, n_resets
+    assert counts[~interior].sum() == 0, "agent started outside interior"
+    expected = n_resets / n_int
+    chi2 = float(((counts[interior] - expected) ** 2 / expected).sum())
+    assert chi2 < _chi2_quantile(n_int - 1), (chi2, n_int, n_resets)
