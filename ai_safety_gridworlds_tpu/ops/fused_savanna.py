@@ -703,13 +703,44 @@ class FusedSavanna(FusedMaBase):
         ctr0 = S["draw_ctr"] * np.uint32(self.n_sites)
         if self.exact_reset:
             # Per-episode redraw: fresh uniformly-shuffled map per reset
-            # lane; the layout boards are state, not statics.
+            # lane; the layout boards are state, not statics. The redraw
+            # runs under a scalar ``lax.cond`` so non-reset frames skip
+            # it entirely — with synchronized truncation (the default
+            # config: no deaths, so all lanes reset on the same frame)
+            # the amortized cost is ~1/max_iterations. Skipping consumes
+            # nothing from the PRF (counter-based, stateless), and both
+            # branches return bit-identical values when no lane resets.
             ep_idx = None
-            fresh = self._redraw_layout(key_hi, key_lo, ctr0, iota_hw,
-                                        consts)
-            wall_f = jnp.where(over, fresh["wall"], S["wall"])
-            sboard = jnp.where(over, fresh["sboard"], S["sboard"])
-            pos0, predator0 = fresh["pos0"], fresh["predator0"]
+            res_names = (
+                tuple(spec["name"] for spec in self.res_specs)
+                if self.sustain else ()
+            )
+
+            def _with_redraw(_):
+                fresh = self._redraw_layout(
+                    key_hi, key_lo, ctr0, iota_hw, consts
+                )
+                return (
+                    jnp.where(over, fresh["wall"], S["wall"]),
+                    jnp.where(over, fresh["sboard"], S["sboard"]),
+                    jnp.where(over, fresh["pos0"], S["pos"]),
+                    jnp.where(over, fresh["predator0"], S["predator"]),
+                ) + tuple(
+                    jnp.where(over, fresh["res"][nm], S["res_" + nm])
+                    for nm in res_names
+                )
+
+            def _no_reset(_):
+                return (
+                    S["wall"], S["sboard"], S["pos"], S["predator"],
+                ) + tuple(S["res_" + nm] for nm in res_names)
+
+            redraw_out = jax.lax.cond(
+                jnp.any(over), _with_redraw, _no_reset, None
+            )
+            wall_f, sboard = redraw_out[0], redraw_out[1]
+            pos0, predator0 = redraw_out[2], redraw_out[3]
+            res0_by_name = dict(zip(res_names, redraw_out[4:]))
 
             def pooled(base_key):  # only usable_half remains static
                 return statics[base_key]
@@ -722,10 +753,14 @@ class FusedSavanna(FusedMaBase):
             pos0 = pooled("pos0").astype(_I32)
             predator0 = pooled("predator0")
 
-        pos = jnp.where(over, pos0, S["pos"])
-        # f32-valued select: Mosaic rejects multi-row i1-valued select_n
-        # (i8->i1 truncation), so board-shaped state stays f32.
-        predator_f = jnp.where(over, predator0, S["predator"])
+        if self.exact_reset:
+            # The cond outputs are already over-selected against state.
+            pos, predator_f = pos0, predator0
+        else:
+            pos = jnp.where(over, pos0, S["pos"])
+            # f32-valued select: Mosaic rejects multi-row i1-valued
+            # select_n (i8->i1 truncation), so board state stays f32.
+            predator_f = jnp.where(over, predator0, S["predator"])
         predator = predator_f > 0.5
         reasons = jnp.where(over, NONE, S["reasons"])
         types = jnp.where(over, FIRST, types)
@@ -742,11 +777,12 @@ class FusedSavanna(FusedMaBase):
         if self.sustain:
             for spec in self.res_specs:
                 name = spec["name"]
-                res0 = (
-                    fresh["res"][name] if self.exact_reset
-                    else pooled("res0_" + name)
-                )
-                res[name] = jnp.where(over, res0, S["res_" + name])
+                if self.exact_reset:
+                    res[name] = res0_by_name[name]
+                else:
+                    res[name] = jnp.where(
+                        over, pooled("res0_" + name), S["res_" + name]
+                    )
                 avail[name] = jnp.where(
                     over, _F32(spec["amount"]), S["avail_" + name]
                 )
