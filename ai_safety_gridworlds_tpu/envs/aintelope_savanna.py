@@ -43,6 +43,7 @@ from ai_safety_gridworlds_tpu.mo.map_randomization import (
     randomize_map,
 )
 from ai_safety_gridworlds_tpu.mo.mo_reward import MoRewardSpace, mo_reward
+from ai_safety_gridworlds_tpu.ops import prng
 
 AGENT_CHRS = "0123456789"
 DANGER_TILE_CHR = "W"
@@ -1671,6 +1672,22 @@ class AIntelopeSavanna(MaSafetyGridworld):
 
         key = state.key
         inj = options if options is not None else {}
+        # Kernel-PRF stream pinning (``ops/fused_savanna.py`` draw sites):
+        # when the caller provides the fused kernel's per-lane counter-based
+        # PRF context (key pair + this sub-step's site base), predator and
+        # resource-drape draws come from the SAME stateless hash the kernel
+        # consumes — making this path draw-for-draw identical to the fused
+        # step instead of merely distributionally faithful. Used by the
+        # stream-equivalence tests (``tests/test_fused_savanna.py``); the
+        # default (no context) keeps the jax.random stream.
+        prf_ctx = None
+        if "prf_key_hi" in inj:
+            prf_ctx = (
+                jnp.asarray(inj["prf_key_hi"], jnp.uint32),
+                jnp.asarray(inj["prf_key_lo"], jnp.uint32),
+                jnp.asarray(inj["prf_site_base"], jnp.uint32),
+            )
+            prf_cell_idx = (rows * w + cols).astype(jnp.uint32)
         predator_curtain = state.predator_curtain
         if self._has_predators:
             # Penalty for standing on a predator (collision,
@@ -1711,13 +1728,24 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 # sequential walk — distribution-tested).
                 # One fused uniform draw for the move mask and direction
                 # field (threefry kernel count dominates batched steps).
-                key, sub = jax.random.split(key)
-                u = jax.random.uniform(sub, (2, h, w))
+                if prf_ctx is not None:
+                    # Kernel site ``slot_base``: one hash word per cell —
+                    # top 24 bits the movement uniform, low 2 bits the
+                    # direction (``ops/fused_savanna.py`` predator draw).
+                    bits = prng.hash_u32(
+                        prf_ctx[0], prf_ctx[1], prf_ctx[2], prf_cell_idx
+                    )
+                    u_move = prng.uniform01(bits)
+                    dirs = 1 + (bits & jnp.uint32(3)).astype(jnp.int32)
+                else:
+                    key, sub = jax.random.split(key)
+                    u = jax.random.uniform(sub, (2, h, w))
+                    u_move = u[0]
+                    dirs = 1 + jnp.floor(u[1] * 4.0).astype(jnp.int32)
+                    dirs = jnp.clip(dirs, 1, 4)
                 move_mask = (
-                    u[0] < cfg["PREDATOR_MOVEMENT_PROBABILITY"]
+                    u_move < cfg["PREDATOR_MOVEMENT_PROBABILITY"]
                 ) & predator_curtain & is_last
-                dirs = 1 + jnp.floor(u[1] * 4.0).astype(jnp.int32)
-                dirs = jnp.clip(dirs, 1, 4)
                 # Predators under a player collide and stay put
                 # (``aintelope_savanna.py:1128-1136``); players do NOT block
                 # landing targets (the reference only checks predators and
@@ -1755,7 +1783,7 @@ class AIntelopeSavanna(MaSafetyGridworld):
         usable = (~state.wall).sum()
 
         def drape_phase(curtain, avail, amount_flag, growth_limit_key,
-                        cond_limit, use_metric, inj_key, key):
+                        cond_limit, use_metric, inj_key, key, r_idx):
             if not cfg["sustainability_challenge"]:
                 avail_new = jnp.float32(cfg[amount_flag])
                 avail_int = jnp.int32(int(cfg[amount_flag]))
@@ -1792,6 +1820,54 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 # Device without-replacement choice via uniform ranking:
                 # the k cells with the smallest scores are selected.
                 current = curtain.sum().astype(jnp.int32)
+                if prf_ctx is not None:
+                    # Kernel site ``slot_base + 1 + r_idx``: the same
+                    # tie-free integer score board the fused drape phase
+                    # ranks (top 20 hash bits, cell index in the low 9;
+                    # removal offsets player cells by OFF_PLAYER so the
+                    # reference's two-pass order is preserved). With no
+                    # static unroll bound here, a binding kernel k-clamp
+                    # would surface as a test failure, not be masked.
+                    bits = prng.hash_u32(
+                        prf_ctx[0], prf_ctx[1],
+                        prf_ctx[2] + jnp.uint32(1 + r_idx), prf_cell_idx,
+                    )
+                    base = (
+                        ((bits >> jnp.uint32(12)) << jnp.uint32(9))
+                        | prf_cell_idx
+                    ).astype(jnp.int32)
+                    OFF_PLAYER = jnp.int32(1 << 29)
+                    SENT = jnp.int32(1 << 30)
+                    need = jnp.maximum(current - avail_int, 0)
+                    grow = jnp.maximum(avail_int - current, 0)
+                    removing = need > 0
+                    count = jnp.where(removing, need, grow)
+                    rem_scores = jnp.where(
+                        curtain,
+                        base + jnp.where(
+                            player_cells_all, OFF_PLAYER, jnp.int32(0)
+                        ),
+                        SENT,
+                    )
+                    spawn_scores = jnp.where(
+                        ~curtain & ~state.wall & ~player_cells_all,
+                        base, SENT,
+                    )
+                    scores = jnp.where(removing, rem_scores, spawn_scores)
+                    valid_bound = jnp.where(removing, SENT, OFF_PLAYER)
+                    num_valid = (scores < valid_bound).sum().astype(
+                        jnp.int32
+                    )
+                    kc = jnp.clip(count, 0, num_valid)
+                    flat = jnp.sort(scores.ravel())
+                    tau = jnp.where(
+                        kc > 0, flat[jnp.maximum(kc - 1, 0)], jnp.int32(-1)
+                    )
+                    picked = scores <= tau
+                    curtain = jnp.where(
+                        removing, curtain & ~picked, curtain | picked
+                    )
+                    return curtain, avail_new, key
                 key, k1, k2, k3 = jax.random.split(key, 4)
 
                 def select_k(mask, k, draw_key):
@@ -1847,14 +1923,16 @@ class AIntelopeSavanna(MaSafetyGridworld):
              cfg["use_food_availability_metric_instead_of_spawning_tiles"],
              self._has_small_food),
         )
+        r_idx = 0  # enabled-resource index == kernel ``res_specs`` order
         for (ckey, akey, amount_flag, glk, cond_limit, use_metric,
              enabled) in drape_specs:
             if not enabled:
                 continue
             curtains[ckey], avails[akey], key = drape_phase(
                 curtains[ckey], avails[akey], amount_flag, glk,
-                cond_limit, use_metric, "inj_" + ckey, key,
+                cond_limit, use_metric, "inj_" + ckey, key, r_idx,
             )
+            r_idx += 1
 
         state = state.replace(
             key=key,

@@ -1376,6 +1376,26 @@ class FusedSavanna(FusedMaBase):
 
     # ---------------------------------------------------------- interop
 
+    def lane_prf_ctx(self, S, lane: int, slot: int) -> dict:
+        """One lane's counter-based PRF context for sub-step ``slot``, in
+        the ``options`` format ``engine_substep`` accepts (``prf_key_hi``/
+        ``prf_key_lo``/``prf_site_base``). Passing this to the per-env
+        chain pins its predator and resource-drape draws to the exact
+        words this kernel consumes in the SAME step taken from ``S`` —
+        stream equivalence instead of curtain injection (the sustain
+        draw-stream deviation retired; PARITY.md)."""
+        keys = np.asarray(S["key"])
+        ctr0 = np.uint32(
+            np.uint32(np.asarray(S["draw_ctr"])[0, lane])
+            * np.uint32(self.n_sites)
+        )
+        slot_base = np.uint32(2 + slot * self.sites_per_slot)
+        return {
+            "prf_key_hi": jnp.uint32(keys[0, lane]),
+            "prf_key_lo": jnp.uint32(keys[1, lane]),
+            "prf_site_base": jnp.uint32(ctr0 + slot_base),
+        }
+
     def unpack_lane(self, S, lane: int):
         """The packed lane as a per-env ``SavannaState`` (for tests)."""
         from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (

@@ -55,7 +55,11 @@ def _inject_opts(fused, dbg, slot, b, h, w):
     return opts
 
 
-def _run_equivalence(env, seed, steps, B=8, layout_pool=1):
+def _run_equivalence(env, seed, steps, B=8, layout_pool=1, stream=False):
+    """``stream=True`` passes NO post-hoc curtains: the per-env chain
+    receives only the lane's PRF context (key + site counter) and must
+    recompute the kernel's predator/drape draws itself — draw-for-draw
+    stream equivalence rather than injected-curtain equivalence."""
     fused = FusedSavanna(env)
     S = fused.init_packed(seed=seed, batch=B, layout_pool=layout_pool)
     apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
@@ -63,6 +67,7 @@ def _run_equivalence(env, seed, steps, B=8, layout_pool=1):
     sustain = fused.sustain
     for step in range(steps):
         per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        S_pre = S
         S2, dbg = fused.step_xla(S, collect_draws=True)
         order = np.asarray(dbg["order"])
         actions = np.asarray(dbg["actions"])
@@ -74,7 +79,10 @@ def _run_equivalence(env, seed, steps, B=8, layout_pool=1):
             for slot in range(n):
                 i = int(order[slot, b])
                 a = int(actions[i, b])
-                opts = _inject_opts(fused, dbg, slot, b, h, w)
+                if stream:
+                    opts = fused.lane_prf_ctx(S_pre, b, slot)
+                else:
+                    opts = _inject_opts(fused, dbg, slot, b, h, w)
                 state_b, _ = apply_fn(
                     state_b, jnp.int32(i), jnp.int32(a), opts or None, slot
                 )
@@ -219,6 +227,25 @@ def test_fused_step_matches_per_env_sustainability():
     phase (regrowth, removal/spawn) stays lockstep with the per-env chain
     when the kernel's curtain draws are injected."""
     _run_equivalence(AIntelopeSavanna(**SUSTAIN_KW), seed=9, steps=12)
+
+
+def test_fused_step_matches_per_env_sustainability_stream():
+    """STREAM equivalence (no curtain injection): the per-env chain
+    recomputes the kernel's removal/spawn draws from the shared PRF
+    context and must reproduce every curtain exactly — the sustain
+    draw-stream deviation (PARITY.md) retired. An unclamped per-env
+    selection also cross-checks the kernel's static k-bound: if the
+    clamp ever bound, this test would fail."""
+    _run_equivalence(
+        AIntelopeSavanna(**SUSTAIN_KW), seed=9, steps=12, stream=True
+    )
+
+
+def test_fused_step_matches_per_env_predators_stream():
+    """STREAM equivalence for the predator random walk: move uniforms and
+    directions recomputed from the shared PRF word, no curtain injected."""
+    _run_equivalence(AIntelopeSavanna(**RICH_KW), seed=5, steps=10,
+                     stream=True)
 
 
 def test_fused_rewards_match_per_env_sustainability():
