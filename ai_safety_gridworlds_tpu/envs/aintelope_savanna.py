@@ -692,28 +692,47 @@ class AIntelopeSavanna(MaSafetyGridworld):
                 shuffle_key = key
             board_j = shuffle_interior_device(board_j, shuffle_key)
         # Art-vs-flag top-up (see ``_reset_topup`` in __init__): spawn the
-        # missing tiles onto random GAP cells. The host sweep's candidate
-        # set is any non-wall, non-player, non-same-resource cell — the
-        # single-code board cannot host overlapping curtains, so the
-        # device draw is restricted to free (GAP) cells; the distributions
-        # differ only when the sweep lands on an occupied cell.
+        # missing tiles over the REFERENCE's candidate set
+        # (``aintelope_savanna.py:1304-1309``): any non-wall cell not
+        # already holding this resource and not under an agent — cells
+        # occupied by another drape (water, predators, other resources,
+        # gold/silver) included, since the reference's backdrop is GAP
+        # everywhere off the walls. A draw landing on a GAP cell paints
+        # the board; a draw landing on an occupied cell becomes an
+        # OVERLAY mask (the state's curtains are independent boolean
+        # boards, so overlapping curtains are representable even though
+        # a char board is not) that ``initial_state`` ORs into the
+        # resource curtain.
+        overlays = {}
+        agent_ords = [ord(c) for c in self.agent_chars]
+        chr_to_curtain = {
+            chr_: curtain_key
+            for curtain_key, _, _, chr_, _ in _RESOURCES
+        }
         for chr_, deficit in self._reset_topup:
             key, spawn_key = jax.random.split(key)
-            gap = board_j == ord(GAP_CHR)
+            cand = (
+                (board_j != ord(WALL_CHR)) & (board_j != ord(chr_))
+            )
+            for a in agent_ords:
+                cand = cand & (board_j != a)
             score = jnp.where(
-                gap, jax.random.uniform(spawn_key, board_j.shape), 2.0
+                cand, jax.random.uniform(spawn_key, board_j.shape), 2.0
             )
             kc = jnp.minimum(
-                jnp.int32(deficit), gap.sum().astype(jnp.int32)
+                jnp.int32(deficit), cand.sum().astype(jnp.int32)
             )
             flat = jnp.sort(score.ravel())
             thresh = jnp.where(
                 kc > 0, jnp.take(flat, jnp.maximum(kc - 1, 0)), -1.0
             )
+            picked = cand & (score <= thresh)
+            gap = board_j == ord(GAP_CHR)
             board_j = jnp.where(
-                gap & (score <= thresh), jnp.uint8(ord(chr_)), board_j
+                picked & gap, jnp.uint8(ord(chr_)), board_j
             )
-        return {"board": board_j}
+            overlays["overlay_" + chr_to_curtain[chr_]] = picked & ~gap
+        return {"board": board_j, **overlays}
 
     def initial_state(self, key, options=None) -> SavannaState:
         cfg = self.cfg
@@ -735,6 +754,16 @@ class AIntelopeSavanna(MaSafetyGridworld):
             "small_food_curtain": b == ord(SMALL_FOOD_CHR),
             "predator_curtain": b == ord(PREDATOR_NPC_CHR),
         }
+        # Top-up overlays (``sample_reset_options``): resource tiles the
+        # reset sweep spawned onto drape-occupied cells — overlapping
+        # curtains, exactly like the reference's independent drape
+        # boards. Merged before the availability sums below.
+        for ck in (
+            "drink_curtain", "food_curtain",
+            "small_drink_curtain", "small_food_curtain",
+        ):
+            if options is not None and ("overlay_" + ck) in options:
+                masks[ck] = masks[ck] | options["overlay_" + ck]
         h, w = self.h, self.w
         flat = b.reshape(-1)
         pos_list = []

@@ -382,3 +382,56 @@ def test_lockstep_quit_on_water_applies_contact_penalty():
             assert r0.sum() != 0.0, "expected a nonzero quit-step reward"
             break
     assert found, "agent_0 never stood on water in 300 steps; re-seed"
+
+
+def test_device_reset_topup_spawns_onto_occupied_drape_cells():
+    """The device reset top-up draws from the REFERENCE's candidate set
+    (``aintelope_savanna.py:1304-1309``): any non-wall, non-player cell
+    not already holding the resource — including cells occupied by
+    another drape (backdrop is GAP off the walls). Occupied picks become
+    overlay curtains (overlapping boolean boards, like the reference's
+    independent drape curtains), not board chars."""
+    import jax
+
+    from ai_safety_gridworlds_tpu.envs.aintelope_savanna import (
+        AIntelopeSavanna, GAP_CHR, WALL_CHR,
+    )
+
+    env = AIntelopeSavanna(
+        level=13, amount_food_patches=4, amount_drink_holes=1,
+        amount_small_drink_holes=1, amount_small_food_patches=1,
+    )
+    assert env._reset_topup == [("F", 3)]
+    sample = jax.jit(env.sample_reset_options)
+    init = jax.jit(env.initial_state)
+    overlap_resets = 0
+    for s in range(60):
+        opts = sample(jax.random.PRNGKey(s))
+        board = np.asarray(opts["board"])
+        ov = np.asarray(opts["overlay_food_curtain"])
+        st = init(jax.random.PRNGKey(1000 + s), opts)
+        # Count enforced: chars + overlays == the flag, disjointly.
+        food = np.asarray(st.food_curtain)
+        assert food.sum() == 4
+        assert ((board == ord("F")) & ov).sum() == 0
+        # Overlay cells hold another drape's char (never wall/agent/gap).
+        if ov.any():
+            overlap_resets += 1
+            chars = board[ov]
+            assert (chars != ord(WALL_CHR)).all()
+            assert (chars != ord(GAP_CHR)).all()
+            for c in env.agent_chars:
+                assert (chars != ord(c)).all()
+            # The overlapped cell is BOTH curtains at once.
+            other = (
+                np.asarray(st.drink_curtain)
+                | np.asarray(st.small_drink_curtain)
+                | np.asarray(st.small_food_curtain)
+                | np.asarray(st.water)
+                | np.asarray(st.gold)
+                | np.asarray(st.silver)
+                | np.asarray(st.predator_curtain)
+            )
+            assert (other[ov]).all()
+    # 3 occupied candidates among ~60; P(no overlap in 60 resets) ~ 1e-4.
+    assert overlap_resets > 0
