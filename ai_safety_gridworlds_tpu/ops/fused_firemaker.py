@@ -75,20 +75,40 @@ QUIT = int(ActionsMo.QUIT)
 class FusedFiremaker(FusedMaBase):
     """Packed batched firemaker with a single-kernel step/rollout."""
 
-    DEFAULT_TILE = 128  # larger tiles exceed this kernel's VMEM optimum
+    # Tile optimum is formulation-dependent (r5 on-chip sweep): the roll
+    # stencil degrades past 128 (17.4M at 256 vs 24.7M at 128), while the
+    # MXU matmul amortizes W over wider lane tiles (32.2M at 256 vs 30.1M
+    # at 128). Set per-instance in __init__.
+    DEFAULT_TILE = 128
     # In-kernel linear-policy features per agent (``set_policies``):
     # normalized row/col, at-workshop flag, stop-button countdown,
     # external-fire count, episode progress.
     POLICY_FEATURES = 6
 
-    def __init__(self, env, ablate=()):
+    def __init__(self, env, ablate=(), mxu_stencil=True):
         # Measurement-only ablations (``tools/firemaker_roofline.py``;
         # docs/KERNELS.md roofline): "prf" replaces the per-cell fire
         # uniform with a constant, "stencil" replaces the spread product
         # with a trivial per-cell term, "onehot" zeroes the per-agent
         # tile-code reductions. Each BREAKS env semantics — never enable
         # outside cost attribution runs.
+        #
+        # ``mxu_stencil`` (DEFAULT since r5): compute the fire-spread
+        # survival product as a banded log-survival matmul on the MXU
+        # (``W @ src`` with ``W[i, j] = log1p(-p)`` for stencil offset
+        # ``j -> i``, split into two default-precision passes against
+        # bf16 input rounding — see the split below) followed by
+        # ``1 - exp``, replacing the 8 sublane rolls of the separable
+        # VPU form. Mathematically exact for 0/1 sources — only f32
+        # rounding differs (gated <= 1e-5 absolute on ``cum`` by
+        # ``tests/test_fused_firemaker.py``; 3.6e-6 measured on chip).
+        # The r4 roofline found the rolls dominate the stencil's ~33%
+        # share of step time; on-chip r5 A/B (tools/firemaker_mxu_ab.py,
+        # batch 4096 tile 128): rolls 24.7M steps/s -> matmul 30.9M
+        # (+25%). ``mxu_stencil=False`` restores the roll form.
         self._ablate = frozenset(ablate)
+        self._mxu_stencil = bool(mxu_stencil)
+        self.DEFAULT_TILE = 256 if self._mxu_stencil else 128
         self.adm = int(env.action_direction_mode)
         self.odm = int(env.observation_direction_mode)
         if self.odm == 2 and self.adm == 0:
@@ -158,6 +178,32 @@ class FusedFiremaker(FusedMaBase):
         self.spread_dcs = sorted(
             {dc for _, dc, _ in env._spread_offsets}
         )
+        if self._mxu_stencil:
+            # Banded log-survival matrix over FLAT indices, replicating
+            # the roll form's wrap-around (harmless: wrapped reads land
+            # on the all-wall border, where sources are identically 0).
+            #
+            # Two-term split W = W_hi + W_lo against the MXU's bf16 input
+            # rounding: sources are 0/1 (bf16-exact) and accumulation is
+            # f32, so the ONLY default-precision error is W's bf16
+            # rounding (measured 1.2e-4 absolute on ``cum`` on chip — up
+            # to ~14% relative on the weakest single-neighbor
+            # probability). W_hi is bf16-representable (passes the MXU
+            # unrounded), W_lo carries the residual (~2^-9 relative), so
+            # two default-precision matmuls recover ~1e-6 accuracy at
+            # one-third the cost of a HIGHEST-precision (6-pass) matmul.
+            logw = np.zeros((self.HW, self.HW), np.float64)
+            for dr, dc, p in env._spread_offsets:
+                off = dr * w + dc
+                i = np.arange(self.HW)
+                logw[i, (i - off) % self.HW] = np.log1p(-float(p))
+            w_hi = logw.astype(np.float32).astype(
+                jnp.bfloat16
+            ).astype(np.float32)
+            self.consts["spread_logw_hi"] = w_hi
+            self.consts["spread_logw_lo"] = (
+                logw.astype(np.float32) - w_hi
+            ).astype(np.float32)
         self.start_pos_flat = np.asarray(
             env._start_pos[:, 0] * w + env._start_pos[:, 1], np.int32
         ).reshape(self.n, 1)
@@ -278,6 +324,51 @@ class FusedFiremaker(FusedMaBase):
                 ]
             )
         return feats
+
+    def _spread_cum(self, src_f, consts):
+        """Per-cell fire-spread probability ``1 - prod(1 - p*src)`` over
+        the 5x5 stencil, from the [HW, lanes] 0/1 source board. Two
+        formulations (selected by ``mxu_stencil``; accuracy-gated against
+        each other in ``tests/test_fused_firemaker.py``)."""
+        if self._mxu_stencil:
+            # Two [HW, HW] x [HW, lanes] MXU matmuls (the W_hi + W_lo
+            # split built in __init__): per-cell summed log-survival over
+            # burning neighbors (exact for 0/1 sources; only f32 rounding
+            # differs from the product form), then one exp. No burning
+            # neighbor -> s = 0 -> cum = 0 exactly in both halves,
+            # preserving the ``cum > 0`` spread-cell semantics.
+            dims = (((1,), (0,)), ((), ()))
+            s = jax.lax.dot_general(
+                consts["spread_logw_hi"], src_f, dims,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                consts["spread_logw_lo"], src_f, dims,
+                preferred_element_type=jnp.float32,
+            )
+            return 1.0 - jnp.exp(s)
+        # Separable stencil: one roll per distinct column offset,
+        # one per row group (8 rolls vs 24 per-offset rolls);
+        # each DISTINCT row polynomial computed once and rolled to
+        # every row offset that uses it (±dr symmetry: 3 polys,
+        # not 5). Row multiplication order is unchanged, so the
+        # result is bit-identical to the per-row form.
+        shifted = {
+            dc: (jnp.roll(src_f, dc, axis=0) if dc else src_f)
+            for dc in self.spread_dcs
+        }
+        polys = {}
+        for terms in self.spread_polys:
+            y = None
+            for dc, p_off in terms:
+                f_term = 1.0 - p_off * shifted[dc]
+                y = f_term if y is None else y * f_term
+            polys[terms] = y
+        prod = None
+        for dr, terms in self.spread_rows:
+            y = polys[terms]
+            y = jnp.roll(y, dr * self.w, axis=0) if dr else y
+            prod = y if prod is None else prod * y
+        return 1.0 - prod
 
     def _step(self, S: dict, statics: dict, consts: dict,
               collect_draws: bool = False):
@@ -546,29 +637,7 @@ class FusedFiremaker(FusedMaBase):
             if "stencil" in self._ablate:  # cost-attribution only
                 cum = src_f * 0.01
             else:
-                # Separable stencil: one roll per distinct column offset,
-                # one per row group (8 rolls vs 24 per-offset rolls);
-                # each DISTINCT row polynomial computed once and rolled to
-                # every row offset that uses it (±dr symmetry: 3 polys,
-                # not 5). Row multiplication order is unchanged, so the
-                # result is bit-identical to the per-row form.
-                shifted = {
-                    dc: (jnp.roll(src_f, dc, axis=0) if dc else src_f)
-                    for dc in self.spread_dcs
-                }
-                polys = {}
-                for terms in self.spread_polys:
-                    y = None
-                    for dc, p_off in terms:
-                        f_term = 1.0 - p_off * shifted[dc]
-                        y = f_term if y is None else y * f_term
-                    polys[terms] = y
-                prod = None
-                for dr, terms in self.spread_rows:
-                    y = polys[terms]
-                    y = jnp.roll(y, dr * self.w, axis=0) if dr else y
-                    prod = y if prod is None else prod * y
-                cum = 1.0 - prod
+                cum = self._spread_cum(src_f, consts)
             eligible = ~fire_cleared & spreadable
             cum = jnp.where(eligible, cum, 0.0)
             # Spread-eligible cells (~fire_cleared) and burning cells

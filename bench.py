@@ -254,7 +254,9 @@ def _worker():
     # remote compile service, the critical number already exists.
     emit(
         "firemaker_ex_ma",
-        bench_fused(FusedFiremaker(FiremakerExMa()), tile=128),
+        # tile=None -> the kernel's DEFAULT_TILE (256 for the r5 MXU
+        # stencil default, which amortizes W over wider lane tiles).
+        bench_fused(FusedFiremaker(FiremakerExMa())),
         extra={"kernel": "fused_pallas"},
     )
 
@@ -433,7 +435,10 @@ def _worker():
     )
 
 
-def bench_sharded_rollout(n_reps=N_REPS, n_steps=256, tile=128):
+def bench_sharded_rollout(n_reps=N_REPS, n_steps=256, tile=256):
+    # tile 256: the r5 MXU-stencil default's lane-tile optimum
+    # (docs/KERNELS.md r5 section); the per-device lane shard
+    # (BATCH // n_devices) must stay a multiple of the tile.
     """The multi-chip composition on REAL silicon: firemaker's fused
     pallas rollout inside ``shard_map`` over a TPU mesh spanning every
     available chip (1x1 on this machine), with per-shard metrics psum'd —

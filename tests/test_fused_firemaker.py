@@ -26,7 +26,7 @@ from ai_safety_gridworlds_tpu.ops.fused_firemaker import FusedFiremaker
 
 def test_fused_step_matches_per_env_substeps():
     env = FiremakerExMa()
-    fused = FusedFiremaker(env)
+    fused = FusedFiremaker(env, mxu_stencil=False)  # roll form; MXU covered below
     B = 16
     S = fused.init_packed(seed=3, batch=B)
     apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
@@ -151,7 +151,7 @@ def test_fused_step_types_vs_per_env_finalize():
 
 def test_xla_pallas_bit_identity():
     env = FiremakerExMa()
-    fused = FusedFiremaker(env)
+    fused = FusedFiremaker(env, mxu_stencil=False)  # roll form; MXU covered below
     B = 256  # two lane tiles: exercises the pallas grid
     S0 = fused.init_packed(seed=7, batch=B)
     n_steps = 40
@@ -304,3 +304,97 @@ def test_fused_direction_mode_rewards_match_per_env():
                 rtol=0, atol=1e-5, err_msg=f"step {step} lane {b}",
             )
         S = S2
+
+
+# ---------------------------------------------------------------- MXU stencil
+
+
+def test_mxu_stencil_cum_accuracy():
+    """The banded log-survival matmul form of the spread probability is
+    within 1e-5 absolute of the separable product form on random source
+    boards (it is mathematically exact for 0/1 sources — only f32
+    rounding differs; measured 3.7e-6 worst-case on the real chip at
+    HIGHEST matmul precision, <=1e-6 on host), and exactly 0 wherever no
+    neighbor burns."""
+    env = FiremakerExMa()
+    poly = FusedFiremaker(env, mxu_stencil=False)
+    mxu = FusedFiremaker(env, mxu_stencil=True)
+    consts = {k: jnp.asarray(v) for k, v in mxu.consts.items()}
+    rng = np.random.default_rng(0)
+    for density in (0.02, 0.1, 0.5, 1.0):
+        src = (rng.random((poly.HW, 64)) < density).astype(np.float32)
+        src_f = jnp.asarray(src)
+        cum_poly = np.asarray(poly._spread_cum(src_f, consts))
+        cum_mxu = np.asarray(mxu._spread_cum(src_f, consts))
+        np.testing.assert_allclose(
+            cum_mxu, cum_poly, rtol=0, atol=1e-5,
+            err_msg=f"density {density}",
+        )
+        # Zero-neighbor cells are exactly 0 in BOTH forms (the in-kernel
+        # ``cum > 0`` spread-cell mask must not light up spuriously).
+        no_nbr = cum_poly == 0.0
+        assert (cum_mxu[no_nbr] == 0.0).all()
+        assert (cum_mxu[~no_nbr] > 0.0).all()
+
+
+def test_mxu_stencil_chain_equivalence():
+    """Full-step semantics with the MXU stencil: the fused step's state
+    stays lockstep with the per-env chain under injected draws (the
+    spread DECISIONS are injected, so this checks everything around the
+    stencil composes identically)."""
+    env = FiremakerExMa()
+    fused = FusedFiremaker(env, mxu_stencil=True)
+    B = 8
+    S = fused.init_packed(seed=3, batch=B)
+    apply_fn = jax.jit(env.apply_substep, static_argnames=("slot",))
+    h, w, n = fused.h, fused.w, fused.n
+    for step in range(8):
+        per_env = [fused.unpack_lane(S, b) for b in range(B)]
+        S2, dbg = fused.step_xla(S, collect_draws=True)
+        order = np.asarray(dbg["order"])
+        actions = np.asarray(dbg["actions"])
+        over = np.asarray(dbg["over"])[0]
+        for b in range(B):
+            if over[b]:
+                continue
+            state_b = per_env[b]
+            for slot in range(n):
+                i = int(order[slot, b])
+                a = int(actions[i, b])
+                opts = {
+                    k: jnp.asarray(
+                        np.asarray(dbg["slots"][slot][k])[:, b].reshape(h, w)
+                    )
+                    for k in ("spread_cells", "spread_set", "cont_keep")
+                }
+                state_b, _ = apply_fn(
+                    state_b, jnp.int32(i), jnp.int32(a), opts, slot
+                )
+            state_b, _ = jax.jit(env.finalize_step)(
+                state_b, env.zero_rewards()
+            )
+            ref_state = fused.unpack_lane(S2, b)
+            for field in (
+                "t", "pos", "step_types", "termination_reasons", "fire",
+                "countdown", "ext_fires", "is_at_workshop", "visits",
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(state_b, field)),
+                    np.asarray(getattr(ref_state, field)),
+                    err_msg=f"step {step} lane {b} field {field}",
+                )
+        S = S2
+
+
+def test_mxu_stencil_xla_pallas_bit_identity():
+    env = FiremakerExMa()
+    fused = FusedFiremaker(env, mxu_stencil=True)
+    B = 256
+    S0 = fused.init_packed(seed=7, batch=B)
+    Sx = fused.rollout(dict(S0), 30, backend="xla")
+    Sp = fused.rollout(dict(S0), 30, backend="pallas", interpret=True)
+    for k in fused.STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(Sx[k]), np.asarray(Sp[k]), err_msg=k
+        )
+    assert np.abs(np.asarray(Sx["stats_rewards"])).sum() > 0
