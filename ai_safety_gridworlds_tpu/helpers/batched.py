@@ -67,7 +67,32 @@ class BatchedEnv:
                 f"{name!r} has no fused kernel for this configuration"
             )
         if self._fused is not None:
-            self._S = self._fused.init_packed(seed=seed, batch=batch_size)
+            try:
+                self._S = self._fused.init_packed(
+                    seed=seed, batch=batch_size
+                )
+            except Exception:
+                # A kernel exists for the env but rejects this particular
+                # configuration at packing time (e.g. a savanna top-up
+                # deficit exceeding the free cells, which the per-env
+                # device path CAN run via overlay curtains). On "auto",
+                # fall back loudly like make_fused does; on explicit
+                # "fused", surface the error.
+                if backend == "fused":
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "fused kernel for %r rejected this configuration at "
+                    "init_packed; falling back to the generic path "
+                    "(25-100x slower)", name, exc_info=True,
+                )
+                self._fused = None
+        if self._fused is not None:
+            self._eps0 = 0
+            self._rew0 = np.zeros_like(
+                np.asarray(self._S["stats_rewards"]).sum(axis=-1)
+            )
         else:
             self._key = jax.random.PRNGKey(seed)
         self._is_ma = hasattr(self.env, "n_agents")
@@ -93,21 +118,26 @@ class BatchedEnv:
 
     def rollout(self, n_steps: int) -> dict:
         """Advance every lane ``n_steps`` env steps under a uniform-random
-        policy and return aggregate statistics:
+        policy and return PER-CALL aggregate statistics:
 
-        ``episodes`` (finished-episode count), ``sum_rewards`` (per-dim /
-        per-agent observed-reward sums over all lanes), ``steps``
+        ``episodes`` (episodes finished during this call), ``sum_rewards``
+        (fused path: per-dim/per-agent OBSERVED-reward sums over all lanes
+        this call; generic path: sums of FINISHED-episode final returns —
+        the two backends report different reward aggregates), ``steps``
         (``n_steps * batch_size``), and ``kernel``.
         """
         if self._fused is not None:
             kw = {} if self.tile is None else {"tile": self.tile}
             self._S = self._fused.rollout(self._S, n_steps, **kw)
+            # The kernel's stats_* accumulate since init; report deltas
+            # so repeated calls do not double-count.
+            eps = int(np.asarray(self._S["stats_episodes"]).sum())
+            rew = np.asarray(self._S["stats_rewards"]).sum(axis=-1)
             stats = {
-                "episodes": int(np.asarray(self._S["stats_episodes"]).sum()),
-                "sum_rewards": np.asarray(
-                    self._S["stats_rewards"]
-                ).sum(axis=-1),
+                "episodes": eps - self._eps0,
+                "sum_rewards": rew - self._rew0,
             }
+            self._eps0, self._rew0 = eps, rew
         elif self._is_ma:
             from ai_safety_gridworlds_tpu.ma.safety_game_ma import ma_rollout
 

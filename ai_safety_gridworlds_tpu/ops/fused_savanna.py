@@ -328,6 +328,15 @@ class FusedSavanna(FusedMaBase):
         if not set(np.unique(interior_b)) <= known:
             self._exact_ok = False
             self._exact_why = "board interior has unsupported tile chars"
+        # The in-kernel redraw rebuilds the border as ALL WALL
+        # (``_redraw_layout``: wall_new from border_wall) — a non-wall
+        # border tile would silently vanish on the first auto-reset, so
+        # such maps must take the restore/layout_pool paths instead.
+        border = base_b.copy()
+        border[1:-1, 1:-1] = ord(_WALL)
+        if not (border == ord(_WALL)).all():
+            self._exact_ok = False
+            self._exact_why = "board border is not all-wall"
         # Distinct integer scores: rank bits << idx bits | cell index.
         self._idx_bits = max(9, int(self.HW - 1).bit_length())
         self.redraw_site = 2 + self.n * self.sites_per_slot

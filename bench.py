@@ -115,11 +115,13 @@ def bench_scalar(env, n_steps=4096, n_reps=N_REPS):
     return _spread(out["rep_steps_per_sec"])
 
 
-def bench_fused(fused, n_steps=256, n_reps=N_REPS, tile=None):
+def bench_fused(fused, n_steps=256, n_reps=N_REPS, tile=None, batch=None):
     # Timed regions end with a HOST FETCH (np.asarray), which provably
     # drains the execution queue — block_until_ready under-waits on this
-    # backend (module docstring).
-    S = fused.init_packed(seed=0, batch=BATCH)
+    # backend (module docstring). Also reused by tools/firemaker_mxu_ab.py
+    # so A/B numbers share this exact timing discipline.
+    batch = BATCH if batch is None else batch
+    S = fused.init_packed(seed=0, batch=batch)
     S = fused.rollout(S, n_steps, tile=tile)  # compile + warm-up
     np.asarray(S["t"])
 
@@ -135,7 +137,7 @@ def bench_fused(fused, n_steps=256, n_reps=N_REPS, tile=None):
         for _ in range(chunks):
             S = fused.rollout(S, n_steps, tile=tile)
         np.asarray(S["t"])
-        rates.append(chunks * n_steps * BATCH / (time.perf_counter() - t0))
+        rates.append(chunks * n_steps * batch / (time.perf_counter() - t0))
     return _spread(rates)
 
 

@@ -100,3 +100,36 @@ def test_get_raw_env_matches_kernel_dispatch():
 
     fused = ops.make_fused(env)
     assert fused is not None and fused.env is env
+
+
+def test_repeated_rollouts_report_per_call_stats():
+    """The fused kernel's stats_* accumulate since init; BatchedEnv must
+    report per-call DELTAS so back-to-back calls don't double-count."""
+    env = BatchedEnv("boat_race", batch_size=128, seed=5)
+    assert env.kernel == "fused_pallas"
+    a = env.rollout(120)
+    b = env.rollout(120)
+    assert a["episodes"] > 0
+    # Same-length follow-up call: similar (not cumulative ~2x) episodes.
+    assert b["episodes"] < a["episodes"] * 1.5
+    ra = float(np.sum(a["sum_rewards"]))
+    rb = float(np.sum(b["sum_rewards"]))
+    assert abs(rb) < abs(ra) * 1.5 + 1.0
+
+
+def test_auto_backend_falls_back_when_init_packed_rejects_config():
+    """A kernel can exist for the env yet reject the configuration at
+    packing time (savanna top-up deficit beyond the free cells); on
+    backend='auto' that must fall back to the generic path, not crash —
+    while backend='fused' surfaces the error."""
+    env = BatchedEnv(
+        "aintelope_savanna", batch_size=8, amount_food_patches=200,
+    )
+    assert env.kernel == "generic_vmap"
+    stats = env.rollout(4)
+    assert stats["steps"] == 32
+    with pytest.raises(ValueError, match="top up"):
+        BatchedEnv(
+            "aintelope_savanna", batch_size=8, backend="fused",
+            amount_food_patches=200,
+        )

@@ -552,3 +552,22 @@ def test_exact_reset_agent_start_is_uniform_over_interior():
     expected = n_resets / n_int
     chi2 = float(((counts[interior] - expected) ** 2 / expected).sum())
     assert chi2 < _chi2_quantile(n_int - 1), (chi2, n_int, n_resets)
+
+
+def test_exact_reset_refuses_non_wall_border():
+    """_redraw_layout rebuilds the border as ALL WALL; a map with a
+    non-wall border tile must be refused for exact_reset (restore /
+    layout_pool modes still work) rather than silently losing the tile
+    on the first in-kernel reset."""
+    env = AIntelopeSavanna(**RICH_KW)
+    board = np.asarray(env._base_board).copy()
+    board[0, 1] = ord("W")  # water on the border ring
+    env._base_board = board
+    fused = FusedSavanna(env)
+    assert not fused._exact_ok
+    assert "border" in fused._exact_why
+    with pytest.raises(ValueError, match="border"):
+        fused.init_packed(seed=1, batch=4, exact_reset=True)
+    S = fused.init_packed(seed=1, batch=4)  # falls back to restore mode
+    assert not fused.exact_reset
+    assert S is not None
