@@ -67,6 +67,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument(
+        "--tiles", type=int, nargs="+", default=[128, 256, 512],
+        help="lane tiles to sweep (512 can wedge the remote compiler "
+             "on some service states — pass '--tiles 128 256' to skip)",
+    )
     args = ap.parse_args()
     B, T = args.batch, args.steps
 
@@ -74,7 +79,7 @@ def main():
 
     # 1. tile sweep (Mosaic requires the lane block dim divisible by 128)
     best_tile, best_rate = None, 0.0
-    for tile in (128, 256, 512):
+    for tile in args.tiles:
         try:
             out = measure(FusedFiremaker(FiremakerExMa()), B, T, tile)
         except Exception as e:  # VMEM OOM at large tiles is informative
@@ -87,20 +92,35 @@ def main():
             best_tile, best_rate = tile, out["steps_per_sec"]
     print(json.dumps({"best_tile": best_tile}), flush=True)
 
-    # 2. ablations at the best tile
+    # 2. ablations at the best tile. Individual ablations can perturb
+    # Mosaic's fusion enough to overflow scoped VMEM at a tile the real
+    # kernel compiles fine at (seen r5: prf+stencil at tile 256) — keep
+    # going, the remaining legs are independent measurements.
     for ablate in ((), ("prf",), ("stencil",), ("onehot",),
                    ("prf", "stencil"), ("prf", "stencil", "onehot")):
-        out = measure(
-            FusedFiremaker(FiremakerExMa(), ablate=ablate), B, T, best_tile
-        )
         name = "+".join(ablate) or "none"
+        try:
+            out = measure(
+                FusedFiremaker(FiremakerExMa(), ablate=ablate), B, T,
+                best_tile,
+            )
+        except Exception as e:
+            print(json.dumps({"ablate": name, "error": str(e)[:160]}),
+                  flush=True)
+            continue
         print(json.dumps({"ablate": name, **out}), flush=True)
 
     # 3. agent-count scaling
     for n in (2, 3, 4):
-        out = measure(
-            FusedFiremaker(FiremakerExMa(amount_agents=n)), B, T, best_tile
-        )
+        try:
+            out = measure(
+                FusedFiremaker(FiremakerExMa(amount_agents=n)), B, T,
+                best_tile,
+            )
+        except Exception as e:
+            print(json.dumps({"agents": n, "error": str(e)[:160]}),
+                  flush=True)
+            continue
         print(json.dumps({"agents": n, **out}), flush=True)
 
     # 4. XLA cost analysis of one compiled chunk
