@@ -419,14 +419,17 @@ def _worker():
     )
     emit_safe(
         "ppo_firemaker_train",
-        lambda: bench_ppo_fused(FiremakerExMa(), FusedFiremaker,
-                                tile=128),
+        # tile 256 (the bench_ppo_fused default): +11% over 128 with the
+        # r5 MXU stencil (on-chip A/B: 23.1M vs 20.7M) — the collection
+        # kernel's VMEM fits the wider tile on this board.
+        lambda: bench_ppo_fused(FiremakerExMa(), FusedFiremaker),
         extra={"kernel": "fused_pallas+ppo"},
     )
     emit_safe(
         "ppo_savanna_train",
-        lambda: bench_ppo_fused(AIntelopeSavanna(), FusedSavanna,
-                                tile=128),
+        # tile 256 (default): +8% over 128 (r5 on-chip A/B: 71.1M vs
+        # 65.8M) — the drape-phase state fits the wider collection tile.
+        lambda: bench_ppo_fused(AIntelopeSavanna(), FusedSavanna),
         extra={"kernel": "fused_pallas+ppo"},
     )
     # ... and on a fused SCALAR kernel (r4): PPO trains on any bench env.
@@ -579,8 +582,8 @@ def bench_ppo_fused(game, kernel_cls, n_reps=N_REPS, tile=256):
     )
     # Default tile 256: the time-chunked trajectory outputs
     # ([n_steps, rows, tile] VMEM blocks) OOM scoped vmem at island's
-    # rollout-only optimum 1024; firemaker/savanna carry larger per-lane
-    # state and need smaller collection tiles still.
+    # rollout-only optimum 1024. r5 on-chip A/Bs: firemaker (+11%) and
+    # savanna (+8%) both fit and prefer 256 over the old 128.
     train_step = ppo_fused.make_train_step(fused, config=config, tile=tile)
     state, metrics = train_step(state)  # compile + warm-up
     np.asarray(jax.tree.leaves(metrics)[0])  # host fetch (see docstring)
