@@ -366,18 +366,21 @@ def _worker():
     )
     emit(
         "island_navigation_ex_ma",
-        bench_fused(FusedIslandMa(IslandNavigationExMa()), tile=1024),
+        # tile 256 (the kernel default): the stale explicit 1024 cost 9%
+        # (r5 on-chip sweep: 245M at 256/512 vs 224M at 1024 — matching
+        # the kernel docstring's r3 dispatch-amortized sweep).
+        bench_fused(FusedIslandMa(IslandNavigationExMa())),
         extra={"kernel": "fused_pallas"},
     )
     # Sustainability challenge: dynamic in-kernel resource curtains
-    # (previously a generic-path fallback; now fused). Tile 512 per the
-    # r4 on-chip sweep (tools/savanna_sustain_sweep.py): the r3 reading
-    # at tile 128 was 2.7x below the same code at 512.
+    # (previously a generic-path fallback; now fused). Tile 256 per the
+    # r5 on-chip sweep (110.5M vs 102.7M at the old 512 — the
+    # exact_reset state boards shifted the optimum down).
     emit(
         "aintelope_savanna_sustain",
         bench_fused(
             FusedSavanna(AIntelopeSavanna(sustainability_challenge=True)),
-            tile=512,
+            tile=256,
         ),
         extra={"kernel": "fused_pallas"},
     )
@@ -392,7 +395,10 @@ def _worker():
     assert isinstance(dirmode_fused, FusedFiremaker)
     emit(
         "firemaker_ex_ma_dirmode1",
-        bench_fused(dirmode_fused, tile=128),
+        # tile None -> DEFAULT_TILE 256 (r5 on-chip: 30.7M vs 29.5M at
+        # the old 128, same MXU-stencil tile preference as the default
+        # config).
+        bench_fused(dirmode_fused),
         extra={"kernel": "fused_pallas"},
     )
 
