@@ -3,10 +3,13 @@
 Run ON THE TPU (axon backend up):
 
     python tools/firemaker_roofline.py [--batch 4096] [--steps 256]
+        [--tiles 128 256 512]
 
 Measures, with the bench's dispatch-amortized methodology:
 
-1. rollout throughput across lane tiles {32, 64, 128, 256};
+1. rollout throughput across lane tiles (default {128, 256, 512};
+   Mosaic needs the lane dim divisible by 128, and 512 can wedge a
+   bad remote-compiler state — pass `--tiles 128 256` to skip it);
 2. ablations at the best tile — "prf" (per-cell fire uniform -> const),
    "stencil" (spread product -> trivial), "onehot" (per-agent tile-code
    reductions -> zeros), and combinations — attributing the per-step cost
@@ -77,51 +80,49 @@ def main():
 
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
 
+    def safe_measure(label, fused, tile):
+        """measure() one config; print {**label, error} and return None
+        on failure (an individual ablation can perturb Mosaic's fusion
+        enough to overflow scoped VMEM at a tile the real kernel
+        compiles fine at — seen r5: prf+stencil at tile 256)."""
+        try:
+            out = measure(fused, B, T, tile)
+        except Exception as e:
+            print(json.dumps({**label, "error": str(e)[:160]}), flush=True)
+            return None
+        print(json.dumps({**label, "tile": tile, **out}), flush=True)
+        return out
+
     # 1. tile sweep (Mosaic requires the lane block dim divisible by 128)
     best_tile, best_rate = None, 0.0
     for tile in args.tiles:
-        try:
-            out = measure(FusedFiremaker(FiremakerExMa()), B, T, tile)
-        except Exception as e:  # VMEM OOM at large tiles is informative
-            print(json.dumps({
-                "config": f"tile_{tile}", "error": str(e)[:160],
-            }), flush=True)
-            continue
-        print(json.dumps({"config": f"tile_{tile}", **out}), flush=True)
-        if out["steps_per_sec"] > best_rate:
+        out = safe_measure(
+            {"config": f"tile_{tile}"}, FusedFiremaker(FiremakerExMa()),
+            tile,
+        )
+        if out and out["steps_per_sec"] > best_rate:
             best_tile, best_rate = tile, out["steps_per_sec"]
     print(json.dumps({"best_tile": best_tile}), flush=True)
+    if best_tile is None:
+        # Don't fall through to tile=None (the kernel default): the
+        # later sections would silently measure at a tile the sweep
+        # never validated, mislabeled as "the best tile".
+        raise SystemExit("no tile in the sweep compiled; aborting")
 
-    # 2. ablations at the best tile. Individual ablations can perturb
-    # Mosaic's fusion enough to overflow scoped VMEM at a tile the real
-    # kernel compiles fine at (seen r5: prf+stencil at tile 256) — keep
-    # going, the remaining legs are independent measurements.
+    # 2. ablations at the best tile.
     for ablate in ((), ("prf",), ("stencil",), ("onehot",),
                    ("prf", "stencil"), ("prf", "stencil", "onehot")):
-        name = "+".join(ablate) or "none"
-        try:
-            out = measure(
-                FusedFiremaker(FiremakerExMa(), ablate=ablate), B, T,
-                best_tile,
-            )
-        except Exception as e:
-            print(json.dumps({"ablate": name, "error": str(e)[:160]}),
-                  flush=True)
-            continue
-        print(json.dumps({"ablate": name, **out}), flush=True)
+        safe_measure(
+            {"ablate": "+".join(ablate) or "none"},
+            FusedFiremaker(FiremakerExMa(), ablate=ablate), best_tile,
+        )
 
     # 3. agent-count scaling
     for n in (2, 3, 4):
-        try:
-            out = measure(
-                FusedFiremaker(FiremakerExMa(amount_agents=n)), B, T,
-                best_tile,
-            )
-        except Exception as e:
-            print(json.dumps({"agents": n, "error": str(e)[:160]}),
-                  flush=True)
-            continue
-        print(json.dumps({"agents": n, **out}), flush=True)
+        safe_measure(
+            {"agents": n}, FusedFiremaker(FiremakerExMa(amount_agents=n)),
+            best_tile,
+        )
 
     # 4. XLA cost analysis of one compiled chunk
     fused = FusedFiremaker(FiremakerExMa())
