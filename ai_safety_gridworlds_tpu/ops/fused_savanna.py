@@ -430,9 +430,12 @@ class FusedSavanna(FusedMaBase):
                 boards = grid.reshape(batch, HW)
             # Art-vs-flag top-up (``aintelope_savanna.py:1226-1330`` reset
             # sweep; static deficits from ``env._reset_topup``): spawn the
-            # missing resource tiles onto random GAP cells per lane, same
-            # GAP-only restriction as the per-env device reset (the packed
-            # one-code-per-cell layout cannot host overlapping curtains).
+            # missing resource tiles onto random GAP cells per lane. The
+            # packed one-code-per-cell layout cannot host overlapping
+            # curtains, so unlike the per-env device reset (which draws
+            # from the reference's full candidate set with overlay
+            # curtains — ``sample_reset_options``) the fused paths keep
+            # the GAP-only restriction (PARITY.md bounds the difference).
             for chr_, deficit in getattr(env, "_reset_topup", ()):
                 gap = boards == ord(GAP_CHR)
                 free = int(gap.sum(axis=1).min())

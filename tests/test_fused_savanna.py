@@ -571,3 +571,42 @@ def test_exact_reset_refuses_non_wall_border():
     S = fused.init_packed(seed=1, batch=4)  # falls back to restore mode
     assert not fused.exact_reset
     assert S is not None
+
+
+def test_exact_reset_food_placement_is_uniform_over_interior():
+    """Statistical gate for the GAP-only top-up inside the in-kernel
+    redraw: level 6 carries an art-vs-flag food deficit (1 'F' in art,
+    amount_food_patches=2), so every episode places one art food tile
+    AND one topped-up food tile. Marginally each food cell is uniform
+    over the interior (ranks of iid distinct PRF scores form a uniform
+    permutation; the top-up is just part of the placement multiset).
+    Chi-square at the 0.999 quantile; fixed seed, deterministic."""
+    env = AIntelopeSavanna(level=6, max_iterations=3)
+    assert env._reset_topup == [("F", 1)]
+    fused = FusedSavanna(env)
+    B = 256
+    S = fused.init_packed(seed=61, batch=B)
+    assert fused.exact_reset
+    interior = np.asarray(fused.consts["interior"])[:, 0] > 0.5
+    n_int = int(interior.sum())
+    food_code = float(fused.tile_codes["food"])
+    counts = np.zeros(fused.HW, np.int64)
+    first = int(StepType.FIRST)
+    resets = 0
+    for _ in range(60):
+        S = fused.step_xla(S)
+        is_first = np.asarray(S["step_types"])[0] == first
+        if not is_first.any():
+            continue
+        code = np.asarray(S["sboard"]) % 16.0
+        food = (code == food_code)[:, is_first]
+        assert (food.sum(axis=0) == 2).all(), "food count drifted"
+        counts += food.sum(axis=1)
+        resets += int(is_first.sum())
+    assert resets > 1500, resets
+    assert counts[~interior].sum() == 0, "food placed outside interior"
+    n_obs = counts.sum()
+    assert n_obs == 2 * resets
+    expected = n_obs / n_int
+    chi2 = float(((counts[interior] - expected) ** 2 / expected).sum())
+    assert chi2 < _chi2_quantile(n_int - 1), (chi2, n_int, n_obs)
