@@ -610,3 +610,140 @@ def test_exact_reset_food_placement_is_uniform_over_interior():
     expected = n_obs / n_int
     chi2 = float(((counts[interior] - expected) ** 2 / expected).sum())
     assert chi2 < _chi2_quantile(n_int - 1), (chi2, n_int, n_obs)
+
+
+def _expected_redraw_layout(fused, S_pre, lane):
+    """Independent numpy reimplementation of the in-kernel redraw spec:
+    rank the interior by the PRF score construction, place the
+    ``_placement_spec`` multiset on the T smallest cells in fixed type
+    order, rebuild codes/water distances. Used to pin the kernel's
+    redraw DRAW-FOR-DRAW (not just in distribution)."""
+    from ai_safety_gridworlds_tpu.ops import prng
+
+    HW, W, n = fused.HW, fused.w, fused.n
+    keys = np.asarray(S_pre["key"])
+    ctr0 = np.uint32(
+        np.uint32(np.asarray(S_pre["draw_ctr"])[0, lane])
+        * np.uint32(fused.n_sites)
+    )
+    idx = np.arange(HW, dtype=np.uint32)
+    bits = np.asarray(prng.hash_u32(
+        np.uint32(keys[0, lane]), np.uint32(keys[1, lane]),
+        ctr0 + np.uint32(fused.redraw_site), idx,
+    ))
+    ib = fused._idx_bits
+    base = (((bits >> np.uint32(ib + 3)) << np.uint32(ib)) | idx).astype(
+        np.int64
+    )
+    interior = np.asarray(fused.consts["interior"])[:, 0] > 0.5
+    SENT = 1 << 30
+    masked = np.where(interior, base, SENT)
+    order = np.argsort(masked)  # distinct ints -> the extraction order
+    idx_mask = (1 << ib) - 1
+
+    codes = fused.tile_codes
+    out = {
+        "wall": (~interior).astype(np.float32),
+        "code": np.zeros(HW, np.float32),
+        "predator": np.zeros(HW, np.float32),
+        "pos": np.zeros(n, np.int64),
+        "res": {},
+    }
+    water_cells = []
+    for t, (kind, info) in enumerate(fused._placement_spec):
+        cell = int(masked[order[t]]) & idx_mask
+        if kind == "agent":
+            out["pos"][info] = cell
+        elif kind == "predator":
+            out["predator"][cell] += 1.0
+        elif kind == "wall":
+            out["wall"][cell] += 1.0
+        elif kind == "water":
+            out["code"][cell] += float(codes["water"])
+            water_cells.append(cell)
+        elif kind in out["res"] or (
+            fused.sustain
+            and kind in {s["name"] for s in fused.res_specs}
+        ):
+            out["res"].setdefault(kind, np.zeros(HW, np.float32))
+            out["res"][kind][cell] += 1.0
+        else:
+            out["code"][cell] += float(codes[kind])
+    rows, cols = np.arange(HW) // W, np.arange(HW) % W
+    if water_cells:
+        dist = np.min(
+            [
+                np.abs(rows - c // W) + np.abs(cols - c % W)
+                for c in water_cells
+            ],
+            axis=0,
+        )
+        dist_f = 16.0 * np.where(dist > 98, 99, dist).astype(np.float32)
+    else:
+        dist_f = np.float32(16.0 * 99.0)
+    out["sboard"] = out["code"] + dist_f
+    return out
+
+
+def test_exact_reset_redraw_is_stream_exact():
+    """The kernel's per-episode redraw is pinned DRAW-FOR-DRAW against
+    an independent numpy implementation of the spec (PRF ranking +
+    fixed-type-order placement): wall, combined code/distance board,
+    agent starts, and predator curtain all match bit-for-bit on every
+    resetting lane."""
+    env = AIntelopeSavanna(**dict(RICH_KW, max_iterations=4))
+    fused = FusedSavanna(env)
+    B = 32
+    S = fused.init_packed(seed=67, batch=B)
+    assert fused.exact_reset
+    first = int(StepType.FIRST)
+    checked = 0
+    for _ in range(14):
+        S_pre = S
+        S = fused.step_xla(S)
+        is_first = np.asarray(S["step_types"])[0] == first
+        for b in np.nonzero(is_first)[0]:
+            exp = _expected_redraw_layout(fused, S_pre, int(b))
+            np.testing.assert_array_equal(
+                np.asarray(S["wall"])[:, b], exp["wall"], "wall"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(S["sboard"])[:, b], exp["sboard"], "sboard"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(S["pos"])[:, b], exp["pos"], "pos"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(S["predator"])[:, b], exp["predator"],
+                "predator",
+            )
+            checked += 1
+    assert checked >= B, checked
+
+
+def test_exact_reset_redraw_is_stream_exact_sustainability():
+    """Same draw-for-draw redraw pin under sustainability: the fresh
+    resource curtains drawn by the redraw match the independent spec
+    implementation exactly as well."""
+    env = AIntelopeSavanna(**dict(SUSTAIN_KW, max_iterations=4))
+    fused = FusedSavanna(env)
+    B = 16
+    S = fused.init_packed(seed=71, batch=B)
+    assert fused.exact_reset and fused.sustain
+    first = int(StepType.FIRST)
+    checked = 0
+    for _ in range(14):
+        S_pre = S
+        S = fused.step_xla(S)
+        is_first = np.asarray(S["step_types"])[0] == first
+        for b in np.nonzero(is_first)[0]:
+            exp = _expected_redraw_layout(fused, S_pre, int(b))
+            np.testing.assert_array_equal(
+                np.asarray(S["sboard"])[:, b], exp["sboard"], "sboard"
+            )
+            for name, expected in exp["res"].items():
+                np.testing.assert_array_equal(
+                    np.asarray(S["res_" + name])[:, b], expected, name
+                )
+            checked += 1
+    assert checked >= B, checked
