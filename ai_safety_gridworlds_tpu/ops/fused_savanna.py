@@ -95,9 +95,12 @@ def _lut_select(table_1d, idx, lo, hi):
 class FusedSavanna(FusedMaBase):
     """Packed batched aintelope_savanna with a single-kernel step/rollout."""
 
-    # r3 tile sweep with dispatch-amortized timing: 512 -> ~259M beats
-    # 256 (~130-208M) and 1024 (~249M) consistently across runs.
-    DEFAULT_TILE = 512
+    # r5 tile sweep (exact_reset moved the layout boards into per-lane
+    # STATE, shifting the optimum down from r3's 512): default config
+    # 256 -> 206M vs 512 -> 204M (tie within run variance), and the
+    # sustainability config clearly prefers 256 (110.5M vs 102.7M) —
+    # auto-routed callers get 256 now.
+    DEFAULT_TILE = 256
     # In-kernel linear-policy features per agent (``set_policies``):
     # normalized row/col, drink/food satiation, water/predator safety
     # distances, observation-direction one-hot.
